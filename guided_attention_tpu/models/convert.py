@@ -1,0 +1,150 @@
+"""HF/diffusers checkpoint -> Flax parameter conversion.
+
+Loads a locally available diffusers-format Stable Diffusion checkpoint
+directory (safetensors preferred, torch .bin fallback) and maps every tensor
+into this framework's Flax param trees. Matching is by *normalized joined
+name*: both the torch key and each flax param path are flattened to a single
+underscore-joined string (digits merged into their container name), which
+makes the mapping independent of where module nesting boundaries fall.
+
+Transposition rules:
+  torch Linear  [out, in]        -> kernel [in, out]
+  torch Conv2d  [out, in, kh, kw]-> kernel [kh, kw, in, out]
+  torch Norm    weight/bias      -> scale/bias
+  torch Embed   weight           -> embedding
+
+The reference fetches weights with from_pretrained over the network
+(reference run.py:28); here loading is explicit and offline.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _load_state_dict(dirpath: str) -> Dict[str, np.ndarray]:
+    """Load all tensors in a diffusers component dir as numpy."""
+    for fname in (
+        "diffusion_pytorch_model.safetensors",
+        "model.safetensors",
+        "pytorch_model.safetensors",
+    ):
+        p = os.path.join(dirpath, fname)
+        if os.path.exists(p):
+            from safetensors.numpy import load_file
+
+            return load_file(p)
+    for fname in ("diffusion_pytorch_model.bin", "pytorch_model.bin"):
+        p = os.path.join(dirpath, fname)
+        if os.path.exists(p):
+            import torch
+
+            sd = torch.load(p, map_location="cpu", weights_only=True)
+            return {k: v.float().numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no model weights found under {dirpath}")
+
+
+def _merge_digits(key: str) -> str:
+    """'down_blocks.0.resnets.1.conv1.weight' -> 'down_blocks_0_resnets_1_conv1_weight'."""
+    return key.replace(".", "_")
+
+
+_STRIP_PREFIXES = ("text_model_", "encoder_", "embeddings_")
+_RENAMES = (
+    # older diffusers VAE attention naming
+    (re.compile(r"\bquery\b"), "to_q"),
+    (re.compile(r"\bkey\b"), "to_k"),
+    (re.compile(r"\bvalue\b"), "to_v"),
+    (re.compile(r"proj_attn"), "to_out_0"),
+    (re.compile(r"\bnorm\b(?=_weight|_bias)"), "group_norm"),
+)
+
+
+def _normalize_torch_key(key: str) -> str:
+    k = _merge_digits(key)
+    for pref in _STRIP_PREFIXES:
+        k = k.replace(pref, "")
+    for pat, rep in _RENAMES:
+        k = pat.sub(rep, k)
+    return k
+
+
+def _flatten(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Any]]:
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.extend(_flatten(v, prefix + (k,)))
+    else:
+        out.append((prefix, tree))
+    return out
+
+
+def _convert_tensor(t: np.ndarray, flax_leaf: str, flax_shape) -> np.ndarray:
+    if flax_leaf == "kernel":
+        if t.ndim == 2:
+            t = t.T
+        elif t.ndim == 4:
+            t = t.transpose(2, 3, 1, 0)
+    if tuple(t.shape) != tuple(flax_shape):
+        # e.g. VAE attention projections stored as [C, C, 1, 1] conv in old
+        # checkpoints but Dense here
+        t = t.reshape(flax_shape)
+    return t
+
+
+def convert_state_dict(
+    torch_sd: Dict[str, np.ndarray], flax_params: Dict[str, Any], component: str
+) -> Dict[str, Any]:
+    """Map a torch state dict onto the structure of ``flax_params``.
+
+    Raises with a near-miss listing if any flax param is left unfilled.
+    """
+    flat = _flatten(flax_params)
+    # index: normalized joined name -> path
+    index: Dict[str, Tuple[str, ...]] = {}
+    for path, leaf in flat:
+        index["_".join(path)] = path
+
+    out: Dict[str, Any] = jax.tree_util.tree_map(lambda x: None, flax_params)
+    leaf_map = {"weight": ("kernel", "scale", "embedding"), "bias": ("bias",)}
+    unmatched = []
+    for tkey, tval in torch_sd.items():
+        norm = _normalize_torch_key(tkey)
+        parts = norm.rsplit("_", 1)
+        base, tleaf = (parts[0], parts[1]) if len(parts) == 2 else ("", parts[0])
+        candidates = [base + "_" + fl for fl in leaf_map.get(tleaf, ())]
+        candidates.append(norm)  # raw params like position_embedding
+        if tleaf == "weight":
+            candidates.append(base)  # raw param named without leaf
+        path = next((index[c] for c in candidates if c in index), None)
+        if path is None:
+            unmatched.append(tkey)
+            continue
+        # fetch target shape
+        node = flax_params
+        for p in path:
+            node = node[p]
+        tgt = out
+        for p in path[:-1]:
+            tgt = tgt[p]
+        tgt[path[-1]] = jnp.asarray(_convert_tensor(tval, path[-1], node.shape), node.dtype)
+
+    missing = ["/".join(p) for p, v in _flatten(out) if v is None]
+    if missing:
+        raise ValueError(
+            f"{component}: {len(missing)} flax params unfilled, e.g. {missing[:8]}; "
+            f"{len(unmatched)} torch keys unmatched, e.g. {unmatched[:8]}"
+        )
+    return out
+
+
+def load_component_params(
+    checkpoint_dir: str, subfolder: str, flax_params: Dict[str, Any]
+) -> Dict[str, Any]:
+    sd = _load_state_dict(os.path.join(checkpoint_dir, subfolder))
+    return convert_state_dict(sd, flax_params, subfolder)

@@ -1,0 +1,421 @@
+"""GuidedAttentionPipeline: the guided denoising loop as one XLA program.
+
+The reference's hot path (reference pipeline_guided_attention.py:925-1053) is
+a Python loop that, per step: runs a grad-enabled cond-only UNet forward,
+aggregates attention maps from a mutated global store, computes losses in
+Python loops, calls torch.autograd.grad on the latent, optionally spins a
+refinement while-loop of more forwards (pipeline:475-581), runs a batch-2
+CFG forward, steps DDIM, and possibly re-noises and repeats ("time travel",
+pipeline:1044-1053) — with host syncs (.item(), PNG writes) inside the loop.
+
+Here the entire thing is a single `lax.scan` over steps, jitted once:
+
+  * the cond-only forward + loss is a pure function of the latent; the
+    latent update is `jax.grad` of it;
+  * iterative refinement is a bounded `lax.while_loop` whose condition is
+    the same per-sub-prompt threshold test (pipeline:1074-1088);
+  * re-noise recursion is a bounded `lax.while_loop` around the step body;
+  * every diagnostic the reference logs/saves is returned as stacked
+    per-step arrays and materialized host-side afterwards (runtime/artifacts).
+
+Step-count parity (reference defaults): guidance forwards happen only on
+steps that can update the latent when `skip_inert_guidance_passes` is on —
+the reference burns one grad-enabled forward per step even when no update
+can occur (pipeline:946 with only_update_on_threshold_steps=True).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from guided_attention_tpu.config import HyperParams
+from guided_attention_tpu.guidance.losses import (
+    compute_loss,
+    compute_token_stats,
+    meets_threshold,
+    per_token_losses,
+)
+from guided_attention_tpu.guidance.spec import GuidanceSpec
+from guided_attention_tpu.models.bundle import StableDiffusion
+from guided_attention_tpu.schedulers.ddim import DDIMSchedule, ddim_step, renoise
+
+
+@dataclasses.dataclass(frozen=True)
+class GenStatics:
+    """Trace-time constants of one generation program."""
+
+    num_steps: int = 50
+    guidance_scale: float = 7.5
+    attention_res: int = 16
+    smooth_attentions: bool = True
+    sigma: float = 0.5
+    kernel_size: int = 3
+    max_refinement_steps: int = 10
+    run_standard_sd: bool = False
+    skip_inert_guidance_passes: bool = True
+    sub_prompt_avg_within: bool = False
+    only_update_on_threshold_steps: bool = True
+    max_iter_to_alter: int = 25
+    diagnostic_level: int = 0
+    last_threshold: float = 1.0  # meets_threshold(-1, ...) value (pipeline:1083)
+    capture_step_maps: bool = True  # return final-eval maps per step
+    capture_eval_losses: bool = True  # per-refinement-slot losses (log parity)
+    normalize_eot: bool = False  # SD2.1 (pipeline:967)
+
+
+@struct.dataclass
+class StepArrays:
+    """Per-step arrays indexed by the scan step i (all length S)."""
+
+    step_sizes: jnp.ndarray  # f32[S] scale_factor * sqrt(linspace(scale_range))
+    thresholds: jnp.ndarray  # f32[S], +inf where i not in thresholds
+    update_gate: jnp.ndarray  # bool[S] (pipeline:998)
+    guidance_needed: jnp.ndarray  # bool[S] — forward can matter at this step
+    pww_gates: jnp.ndarray  # f32[S] — (i < pww_stop) * log1p(sigma_i)
+
+
+def make_step_arrays(
+    statics: GenStatics, hp: HyperParams, sched: DDIMSchedule, scale_factor: float, scale_range
+) -> StepArrays:
+    S = statics.num_steps
+    rng = np.linspace(scale_range[0], scale_range[1], S)
+    step_sizes = scale_factor * np.sqrt(rng)
+    thresholds = np.full(S, np.inf, np.float32)
+    for k, v in hp.thresholds.items():
+        if 0 <= int(k) < S:
+            thresholds[int(k)] = v
+    is_thresh = np.isfinite(thresholds)
+    update_gate = is_thresh.copy()
+    if not statics.only_update_on_threshold_steps:
+        update_gate |= np.arange(S) < statics.max_iter_to_alter
+    guidance_needed = is_thresh | update_gate
+    sig = np.asarray(sched.sigmas)
+    pww = (np.arange(S) < hp.paint_with_words_stop).astype(np.float32) * np.log1p(sig)
+    return StepArrays(
+        step_sizes=jnp.asarray(step_sizes, jnp.float32),
+        thresholds=jnp.asarray(thresholds),
+        update_gate=jnp.asarray(update_gate),
+        guidance_needed=jnp.asarray(guidance_needed),
+        pww_gates=jnp.asarray(pww, jnp.float32),
+    )
+
+
+@struct.dataclass
+class StepDiag:
+    """Per-step diagnostics (stacked by the scan) — the pure-output
+    replacement for the reference's in-loop logging/PNG dumps
+    (helpers.py:292-349, pipeline:1096-1123)."""
+
+    total_loss: jnp.ndarray
+    group_unscaled: jnp.ndarray  # [G]
+    per_token_unscaled: jnp.ndarray  # [K]
+    token_attn_sum: jnp.ndarray  # [K] (pipeline:241-246 log)
+    col: jnp.ndarray  # [K]
+    row: jnp.ndarray  # [K]
+    max_attn: jnp.ndarray  # [K]
+    refine_iters: jnp.ndarray  # int32
+    did_update: jnp.ndarray  # bool
+    recursions: jnp.ndarray  # int32
+    latent_mean: jnp.ndarray  # [C]
+    latent_std: jnp.ndarray  # [C] (std of |latent|, helpers.py:323)
+    latent_p99: jnp.ndarray  # [C] (99th pct of |latent|)
+    x0_pred: jnp.ndarray  # [h, w, C]
+    maps: jnp.ndarray  # [R, R, K] final-eval smoothed maps (or zeros)
+    eval_unscaled: jnp.ndarray  # [R_sub, K] per-slot per-token unscaled
+    eval_mask: jnp.ndarray  # bool[R_sub]
+
+
+def aggregate_cross_maps(maps: Dict[str, Any], res: int, from_where=("up", "down", "mid")):
+    """Mean over layers+heads of captured cross maps at ``res`` -> [R,R,K]
+    (reference utils/ptp_utils.py:273-289 with select=0; heads already
+    averaged inside the attention op)."""
+    items = []
+    for place in from_where:
+        items.extend(maps[f"{place}_cross"])
+    stacked = jnp.concatenate([m[0][None] for m in items], axis=0)  # [L, Q, K]
+    out = jnp.mean(stacked, axis=0)
+    K = out.shape[-1]
+    return out.reshape(res, res, K)
+
+
+def build_generate(
+    sd: StableDiffusion,
+    statics: GenStatics,
+    hp: HyperParams,
+    from_where: Tuple[str, ...] = ("up", "down", "mid"),
+):
+    """Returns a jitted ``generate(params, emb, latents0, spec, sched,
+    arrays, key) -> (final_latents, StepDiag[S])`` for batch size 1
+    (vmap/shard for batches — see parallel/batch.py)."""
+    unet = sd.unet
+    R = statics.attention_res
+    S = statics.num_steps
+    R_sub = statics.max_refinement_steps + 2
+    K = 77
+    capture = frozenset({("cross", R)})
+    do_cfg = statics.guidance_scale > 1.0
+    recurse_steps = max(int(hp.recurse_steps), 1)
+    recurse_until = int(hp.recurse_until)
+    guided_mode = not statics.run_standard_sd
+
+    def generate(params, emb, latents0, spec: GuidanceSpec, sched: DDIMSchedule, arrays: StepArrays, key):
+        uncond, cond = emb[0:1], emb[1:2]
+        pww = spec.pww_masks if spec.pww_masks else None
+        C = latents0.shape[-1]
+
+        def unet_eps(latents, t, context, cap=frozenset(), gate=None):
+            eps, aux = unet.apply(
+                {"params": params["unet"]},
+                latents,
+                t,
+                context,
+                capture=cap,
+                pww=pww,
+                pww_gate=gate,
+            )
+            return eps, aux
+
+        def guidance_eval(latents, t, gate):
+            """Pure loss of the latent through the cond-only UNet (the
+            reference's grad-enabled forward + loss, pipeline:946-973)."""
+
+            def loss_fn(lat):
+                _eps, aux = unet_eps(lat, t, cond, capture, gate)
+                maps = aggregate_cross_maps(aux["maps"], R, from_where)
+                stats = compute_token_stats(
+                    maps, spec, hp, statics.smooth_attentions, statics.sigma, statics.kernel_size
+                )
+                total, gs, gu, valid = compute_loss(
+                    stats, spec, hp, statics.sub_prompt_avg_within
+                )
+                _scaled, unscaled = per_token_losses(stats, spec, hp)
+                aux_out = {
+                    "gu": gu,
+                    "valid": valid,
+                    "unscaled_tok": unscaled,
+                    "attn_sum": jnp.sum(stats.probs, axis=(0, 1)),
+                    "col": stats.col,
+                    "row": stats.row,
+                    "max_attn": stats.max_attn,
+                    "maps": stats.smoothed if statics.capture_step_maps else jnp.zeros((R, R, K)),
+                }
+                return total, aux_out
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(latents)
+
+        def zero_eval_aux():
+            return {
+                "gu": jnp.zeros((spec.n_groups,)),
+                "valid": jnp.zeros((spec.n_groups,), bool),
+                "unscaled_tok": jnp.zeros((K,)),
+                "attn_sum": jnp.zeros((K,)),
+                "col": jnp.zeros((K,)),
+                "row": jnp.zeros((K,)),
+                "max_attn": jnp.zeros((K,)),
+                "maps": jnp.zeros((R, R, K)),
+            }
+
+        def guided_update(latents, i, t, gate):
+            """Refinement + gradient update for one step (pipeline:961-1007)."""
+            step_size = arrays.step_sizes[i]
+            thresh_i = arrays.thresholds[i]
+            eval_buf = jnp.zeros((R_sub, K))
+            eval_mask = jnp.zeros((R_sub,), bool)
+
+            (loss0, aux0), grad0 = guidance_eval(latents, t, gate)
+            eval_buf = eval_buf.at[0].set(aux0["unscaled_tok"])
+            eval_mask = eval_mask.at[0].set(True)
+
+            needs_refine = ~meets_threshold(aux0["gu"], aux0["valid"], thresh_i)
+
+            def do_refine(op):
+                lat0, gu0, buf0, mask0 = op
+                vel0 = jnp.zeros_like(lat0)
+
+                def cond_fn(c):
+                    it, lat, gu, buf, mask, vel = c
+                    return jnp.logical_and(
+                        ~meets_threshold(gu, aux0["valid"], thresh_i),
+                        it < statics.max_refinement_steps,
+                    )
+
+                def body_fn(c):
+                    it, lat, gu, buf, mask, vel = c
+                    (loss, aux), grad = guidance_eval(lat, t, gate)
+                    if hp.use_optimizer:
+                        # SGD + momentum, lr = step/2.5 (pipeline:495-497)
+                        vel = (0.8 * vel + grad).astype(lat.dtype)
+                        lat2 = (lat - (step_size / 2.5) * vel).astype(lat.dtype)
+                    else:
+                        lat2 = jnp.where(
+                            loss != 0.0, (lat - step_size * grad).astype(lat.dtype), lat
+                        )
+                    buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], it + 1, 0)
+                    mask = jax.lax.dynamic_update_index_in_dim(
+                        mask, jnp.asarray(True), it + 1, 0
+                    )
+                    return (it + 1, lat2, aux["gu"], buf, mask, vel)
+
+                it_f, lat_f, _gu, buf_f, mask_f, _vel = jax.lax.while_loop(
+                    cond_fn, body_fn, (0, lat0, gu0, buf0, mask0, vel0)
+                )
+                # final fresh forward, no update (pipeline:564-578)
+                (loss_f, aux_f), grad_f = guidance_eval(lat_f, t, gate)
+                buf_f = jax.lax.dynamic_update_index_in_dim(
+                    buf_f, aux_f["unscaled_tok"], R_sub - 1, 0
+                )
+                mask_f = jax.lax.dynamic_update_index_in_dim(
+                    mask_f, jnp.asarray(True), R_sub - 1, 0
+                )
+                return lat_f, loss_f, aux_f, grad_f, it_f, buf_f, mask_f
+
+            def no_refine(op):
+                lat0, gu0, buf0, mask0 = op
+                return lat0, loss0, aux0, grad0, jnp.int32(0), buf0, mask0
+
+            lat1, loss1, aux1, grad1, refine_iters, eval_buf, eval_mask = jax.lax.cond(
+                needs_refine, do_refine, no_refine, (latents, aux0["gu"], eval_buf, eval_mask)
+            )
+
+            # gradient update gate (pipeline:998-1007); meets_threshold(-1,...)
+            # uses the LAST threshold value (pipeline:1083)
+            gate_step = arrays.update_gate[i]
+            not_met_last = ~meets_threshold(aux1["gu"], aux1["valid"], statics.last_threshold)
+            apply = jnp.logical_and(gate_step, not_met_last)
+            lat2 = jnp.where(
+                jnp.logical_and(apply, loss1 != 0.0),
+                (lat1 - step_size * grad1).astype(lat1.dtype),
+                lat1,
+            )
+            did_update = jnp.logical_or(needs_refine, apply)
+            return lat2, did_update, loss1, aux1, refine_iters, eval_buf, eval_mask
+
+        def cfg_and_step(latents, i, t, gate):
+            """Batch-2 CFG forward + DDIM (pipeline:1010-1029)."""
+            if do_cfg:
+                pair = jnp.concatenate([latents, latents], axis=0)
+                ctx = jnp.concatenate([uncond, cond], axis=0)
+                eps_pair, _ = unet_eps(pair, t, ctx, frozenset(), gate)
+                eps_u, eps_c = eps_pair[0:1], eps_pair[1:2]
+                eps = eps_u + statics.guidance_scale * (eps_c - eps_u)
+            else:
+                eps, _ = unet_eps(latents, t, cond, frozenset(), gate)
+            prev, x0 = ddim_step(sched, i, eps.astype(jnp.float32), latents.astype(jnp.float32))
+            return prev, x0
+
+        def one_pass(latents, i, t, gate, key_r):
+            """guidance + CFG + scheduler for one recursion iteration."""
+            if guided_mode:
+                pred = arrays.guidance_needed[i] if statics.skip_inert_guidance_passes else jnp.asarray(True)
+
+                def run(lat):
+                    return guided_update(lat, i, t, gate)
+
+                def skip(lat):
+                    return (
+                        lat,
+                        jnp.asarray(False),
+                        jnp.zeros(()),
+                        zero_eval_aux(),
+                        jnp.int32(0),
+                        jnp.zeros((R_sub, K)),
+                        jnp.zeros((R_sub,), bool),
+                    )
+
+                lat2, did_update, loss, aux, refine_iters, eval_buf, eval_mask = jax.lax.cond(
+                    pred, run, skip, latents
+                )
+            else:
+                lat2, did_update, loss, aux, refine_iters, eval_buf, eval_mask = (
+                    latents,
+                    jnp.asarray(False),
+                    jnp.zeros(()),
+                    zero_eval_aux(),
+                    jnp.int32(0),
+                    jnp.zeros((R_sub, K)),
+                    jnp.zeros((R_sub,), bool),
+                )
+            prev, x0 = cfg_and_step(lat2, i, t, gate)
+            # scheduler math runs fp32; the carried latent keeps the compute dtype
+            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask
+
+        def step(carry, i):
+            latents, key = carry
+            t = sched.timesteps[i]
+            gate = arrays.pww_gates[i]
+
+            if recurse_steps > 1 and guided_mode:
+                def recur_cond(c):
+                    r, done, *_ = c
+                    return jnp.logical_and(~done, r < recurse_steps)
+
+                def recur_body(c):
+                    r, done, work, out, pack = c
+                    prev, x0, did_update, loss, aux, ri, ebuf, emask = one_pass(
+                        work, i, t, gate, None
+                    )
+                    done2 = jnp.logical_or(
+                        jnp.logical_or(i > recurse_until, ~did_update),
+                        r + 1 >= recurse_steps,
+                    )
+                    key_r = jax.random.fold_in(jax.random.fold_in(key, i), r)
+                    work2 = renoise(sched, i, prev, key_r)
+                    pack2 = (x0, did_update, loss, aux, ri, ebuf, emask, r + 1)
+                    return (r + 1, done2, work2, prev, pack2)
+
+                x0_0 = jnp.zeros_like(latents, jnp.float32)
+                pack0 = (
+                    x0_0,
+                    jnp.asarray(False),
+                    jnp.zeros(()),
+                    zero_eval_aux(),
+                    jnp.int32(0),
+                    jnp.zeros((R_sub, K)),
+                    jnp.zeros((R_sub,), bool),
+                    jnp.int32(0),
+                )
+                _r, _done, _work, prev, pack = jax.lax.while_loop(
+                    recur_cond, recur_body, (jnp.int32(0), jnp.asarray(False), latents, latents, pack0)
+                )
+                x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, recursions = pack
+            else:
+                prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask = one_pass(
+                    latents, i, t, gate, None
+                )
+                recursions = jnp.int32(1)
+
+            lat_f32 = prev.astype(jnp.float32)
+            absl = jnp.abs(lat_f32)
+            diag = StepDiag(
+                total_loss=loss,
+                group_unscaled=aux["gu"],
+                per_token_unscaled=aux["unscaled_tok"],
+                token_attn_sum=aux["attn_sum"],
+                col=aux["col"],
+                row=aux["row"],
+                max_attn=aux["max_attn"],
+                refine_iters=refine_iters,
+                did_update=did_update,
+                recursions=recursions,
+                latent_mean=jnp.mean(lat_f32, axis=(0, 1, 2)),
+                latent_std=jnp.std(absl, axis=(0, 1, 2)),
+                latent_p99=jnp.quantile(absl.reshape(-1, C), 0.99, axis=0),
+                x0_pred=x0[0],
+                maps=aux["maps"],
+                eval_unscaled=eval_buf,
+                eval_mask=eval_mask,
+            )
+            return (prev.astype(latents0.dtype), key), diag
+
+        (final_latents, _), diags = jax.lax.scan(
+            step, (latents0, key), jnp.arange(S, dtype=jnp.int32)
+        )
+        return final_latents, diags
+
+    return jax.jit(generate, donate_argnums=(2,))

@@ -1,0 +1,183 @@
+"""GuidedAttentionPipeline: the user-facing pipeline object.
+
+Mirrors the reference's pipeline call surface (reference run.py:44-67,
+pipeline_guided_attention.py:746-777) while keeping everything under the
+hood functional: one compiled ``generate`` program per (statics,
+hyperparams) pair, cached, with all per-run data passed as arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from guided_attention_tpu.annotation import Annotation, parse_prompt
+from guided_attention_tpu.config import HyperParams, RunConfig
+from guided_attention_tpu.guidance.custom import CustomLossRegistry, default_registry
+from guided_attention_tpu.guidance.spec import GuidanceSpec, build_guidance_spec
+from guided_attention_tpu.models.bundle import StableDiffusion
+from guided_attention_tpu.pipeline import (
+    GenStatics,
+    StepDiag,
+    build_generate,
+    make_step_arrays,
+)
+from guided_attention_tpu.schedulers.ddim import make_ddim_schedule
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    images: np.ndarray  # [B, H, W, 3] float in [0, 1]
+    latents: np.ndarray
+    diagnostics: Any  # StepDiag with leading [S] axis (numpy)
+    spec: GuidanceSpec
+    prompt: str
+    annotations: List[Annotation]
+
+
+class GuidedAttentionPipeline:
+    """prompt + annotations -> guided image, all compute in one XLA program."""
+
+    def __init__(self, sd: StableDiffusion, registry: Optional[CustomLossRegistry] = None):
+        self.sd = sd
+        self.registry = registry or default_registry()
+        self._generate_cache: Dict[Any, Any] = {}
+        self._encode = jax.jit(
+            lambda p, ids: self.sd.text_encoder.apply({"params": p}, ids)
+        )
+
+    def register_custom_loss(self, name: str, loss) -> None:
+        """(reference run.py:229-232)"""
+        self.registry.register(name, loss)
+
+    # ------------------------------------------------------------------
+    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
+        from guided_attention_tpu.models.tokenizer import pad_ids
+
+        ids = jnp.asarray(
+            [pad_ids(self.sd.tokenizer, negative_prompt), pad_ids(self.sd.tokenizer, prompt)],
+            jnp.int32,
+        )
+        return self._encode(self.sd.params["text_encoder"], ids)
+
+    def _get_generate(self, statics: GenStatics, hp: HyperParams):
+        hp_key = tuple(
+            tuple(sorted(v.items())) if isinstance(v, dict) else v
+            for v in dataclasses.asdict(hp).values()
+        )
+        key = (statics, hp_key)
+        if key not in self._generate_cache:
+            self._generate_cache[key] = build_generate(self.sd, statics, hp)
+        return self._generate_cache[key]
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        meta_prompt: Optional[str] = None,
+        prompt: Optional[str] = None,
+        annotations: Optional[List[Annotation]] = None,
+        hp: Optional[HyperParams] = None,
+        seed: int = 42,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        max_iter_to_alter: int = 25,
+        attention_res: int = 16,
+        run_standard_sd: bool = False,
+        thresholds: Optional[Dict[int, float]] = None,
+        scale_factor: float = 20.0,
+        scale_range: Tuple[float, float] = (1.0, 0.5),
+        smooth_attentions: bool = True,
+        sigma: float = 0.5,
+        kernel_size: int = 3,
+        sd_2_1: bool = False,
+        only_update_on_threshold_steps: bool = True,
+        sub_prompt_avg_within: bool = False,
+        skip_inert_guidance_passes: bool = True,
+        diagnostic_level: int = 0,
+        negative_prompt: str = "",
+        latents: Optional[jnp.ndarray] = None,
+        decode: bool = True,
+    ) -> PipelineOutput:
+        hp = hp or HyperParams()
+        if thresholds is not None:
+            hp = hp.replace(thresholds=thresholds)
+        if len(hp.thresholds) == 0:  # pipeline:916-917
+            hp = hp.replace(thresholds={0: float("inf")})
+
+        custom_losses: Dict[str, Any] = {}
+        if meta_prompt is not None:
+            prompt, annotations, custom_losses = parse_prompt(meta_prompt, self.registry.as_dict())
+        assert prompt is not None
+        annotations = annotations or []
+
+        spec = build_guidance_spec(
+            self.sd.tokenizer,
+            prompt,
+            annotations,
+            hp,
+            custom_losses,
+            attention_res=attention_res,
+            normalize_eot=sd_2_1,
+        )
+
+        thr_values = list(hp.thresholds.values())
+        statics = GenStatics(
+            num_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            attention_res=attention_res,
+            smooth_attentions=smooth_attentions,
+            sigma=sigma,
+            kernel_size=kernel_size,
+            run_standard_sd=run_standard_sd,
+            skip_inert_guidance_passes=skip_inert_guidance_passes,
+            sub_prompt_avg_within=sub_prompt_avg_within,
+            only_update_on_threshold_steps=only_update_on_threshold_steps,
+            max_iter_to_alter=max_iter_to_alter,
+            diagnostic_level=diagnostic_level,
+            last_threshold=float(thr_values[-1]) if thr_values else float("inf"),
+            normalize_eot=sd_2_1,
+        )
+
+        sched = make_ddim_schedule(num_inference_steps)
+        arrays = make_step_arrays(statics, hp, sched, scale_factor, scale_range)
+        emb = self.encode_prompt(prompt, negative_prompt)
+
+        cfg = self.sd.config
+        s = cfg.latent_size
+        key = jax.random.PRNGKey(seed)
+        key_init, key_run = jax.random.split(key)
+        if latents is None:
+            latents = jax.random.normal(
+                key_init, (1, s, s, cfg.unet.in_channels), jnp.float32
+            ).astype(cfg.unet.dtype)
+
+        generate = self._get_generate(statics, hp)
+        final_latents, diags = generate(
+            self.sd.params, emb, latents, spec, sched, arrays, key_run
+        )
+
+        images = None
+        if decode:
+            images = np.asarray(self.sd.decode_latents(final_latents))
+        diags_np = jax.tree_util.tree_map(np.asarray, diags)
+        return PipelineOutput(
+            images=images,
+            latents=np.asarray(final_latents),
+            diagnostics=diags_np,
+            spec=spec,
+            prompt=prompt,
+            annotations=annotations,
+        )
+
+
+def pipeline_from_config(config: RunConfig, registry=None) -> GuidedAttentionPipeline:
+    """Build the pipeline the way run.py's load_model does (reference
+    run.py:18-29): SD1.x by default, SD2.1 with --sd_2_1, bf16 with
+    --half_precision."""
+    dtype = jnp.bfloat16 if config.half_precision or config.dtype == "bfloat16" else jnp.float32
+    model = "sd21" if config.sd_2_1 else "sd15"
+    sd = StableDiffusion.create(model, dtype=dtype, checkpoint_dir=config.model_path)
+    return GuidedAttentionPipeline(sd, registry)

@@ -106,5 +106,7 @@ def renoise(
     reference pipeline:1046-1053): x <- sqrt(Bt)*x + sqrt(1-Bt)*eps,
     Bt = a_t / a_{t-dt}; identity when the previous timestep <= 0."""
     beta = sched.renoise_beta[i]
-    eps = jax.random.normal(key, latents.shape, latents.dtype)
-    return jnp.sqrt(beta) * latents + jnp.sqrt(jnp.maximum(1.0 - beta, 0.0)) * eps
+    eps = jax.random.normal(key, latents.shape, jnp.float32)
+    x = latents.astype(jnp.float32)
+    out = jnp.sqrt(beta) * x + jnp.sqrt(jnp.maximum(1.0 - beta, 0.0)) * eps
+    return out.astype(latents.dtype)

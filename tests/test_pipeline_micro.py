@@ -1,0 +1,90 @@
+"""End-to-end guided generation on a random-init micro model
+(SURVEY.md §4: 'integration without weights' — shapes, determinism, and that
+guidance strictly reduces the loss)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from guided_attention_tpu.models.bundle import StableDiffusion
+from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+META = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    sd = StableDiffusion.create("micro", dtype=jnp.float32)
+    return GuidedAttentionPipeline(sd)
+
+
+@pytest.fixture(scope="module")
+def guided_out(pipe):
+    return pipe(meta_prompt=META, seed=1, num_inference_steps=4, thresholds={0: 0.5})
+
+
+def test_standard_sd_shapes_and_finite(pipe):
+    out = pipe(meta_prompt="a dog and a cat", seed=1, num_inference_steps=4, run_standard_sd=True)
+    assert out.images.shape == (1, 128, 128, 3)
+    assert np.isfinite(out.latents).all()
+    assert 0.0 <= out.images.min() and out.images.max() <= 1.0
+
+
+def test_guided_refinement_runs_on_threshold_step(guided_out):
+    d = guided_out.diagnostics
+    # step 0 has the only threshold: refinement + recursion happen there only
+    assert d.refine_iters[0] > 0
+    assert d.did_update[0]
+    assert d.recursions[0] == 3  # hp default recurse_steps
+    assert not d.did_update[1:].any()
+    assert (d.refine_iters[1:] == 0).all()
+    assert (d.recursions[1:] == 1).all()
+
+
+def test_refinement_reduces_loss(guided_out):
+    d = guided_out.diagnostics
+    # per-eval per-token unscaled losses at step 0: first vs final slot
+    buf, mask = d.eval_unscaled[0], d.eval_mask[0]
+    assert mask[0] and mask[-1]
+    first = buf[0].sum()
+    last = buf[-1].sum()
+    assert last < first
+
+
+def test_deterministic_and_seed_sensitivity(pipe, guided_out):
+    out_b = pipe(meta_prompt=META, seed=1, num_inference_steps=4, thresholds={0: 0.5})
+    assert np.array_equal(guided_out.latents, out_b.latents)
+    out_c = pipe(meta_prompt=META, seed=2, num_inference_steps=4, thresholds={0: 0.5})
+    assert not np.array_equal(guided_out.latents, out_c.latents)
+
+
+def test_guidance_changes_output_vs_standard(pipe, guided_out):
+    std = pipe(meta_prompt=META, seed=1, num_inference_steps=4, run_standard_sd=True)
+    assert not np.array_equal(guided_out.latents, std.latents)
+
+
+def test_diag_shapes(guided_out):
+    d = guided_out.diagnostics
+    S = 4
+    assert d.total_loss.shape == (S,)
+    assert d.maps.shape == (S, 16, 16, 77)
+    assert d.x0_pred.shape[0] == S
+    assert d.latent_p99.shape == (S, 4)
+    assert d.group_unscaled.shape[0] == S
+
+
+def test_inert_steps_skip_guidance_forwards(guided_out):
+    d = guided_out.diagnostics
+    # steps 1..3 are not threshold steps with only_update_on_threshold_steps:
+    # the guidance forward is skipped entirely (loss identically 0, no evals)
+    assert (d.total_loss[1:] == 0).all()
+    assert not d.eval_mask[1:].any()
+
+
+def test_bfloat16_compute_path():
+    """Regression: bf16 latents must survive refinement/recursion carries
+    (dtype promotion in the update once broke while_loop typing)."""
+    sd = StableDiffusion.create("micro", dtype=jnp.bfloat16)
+    p = GuidedAttentionPipeline(sd)
+    out = p(meta_prompt="a [dog:.2,.3] x", seed=3, num_inference_steps=3, thresholds={0: 0.5})
+    assert np.isfinite(out.latents.astype(np.float32)).all()
+    assert out.diagnostics.refine_iters[0] > 0
