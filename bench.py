@@ -1,0 +1,90 @@
+"""Benchmark: guided 512x512 50-step SD1.5 generation, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the driver-set north star of 4 s/image on v5e-4
+(BASELINE.json): vs_baseline = 4.0 / measured_sec_per_image (>1 beats it).
+
+Weights are random-init (no network egress for checkpoints); the compute is
+identical to real SD1.5, so the timing is the true workload. The run uses
+the reference's effective default hyperparameters (thresholds {0: 1.0},
+recurse 3 until step 14, <=10 refinement iters, CFG 7.5 — reference
+utils/shared_state.py:21, config.py:17-23) on the README two-object
+meta-prompt.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+META_PROMPT = "a [robot:.6,.3,.4,.55] and a [blue vase:0,.3,.4,.55]"
+BASELINE_SEC = 4.0
+
+
+def main():
+    quick = "--quick" in sys.argv
+    model = "micro" if quick else "sd15"
+    steps = 4 if quick else 50
+
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+    t0 = time.time()
+    sd = StableDiffusion.create(model, dtype=jnp.float32 if quick else jnp.bfloat16)
+    pipe = GuidedAttentionPipeline(sd)
+    build_s = time.time() - t0
+
+    def run(seed):
+        return pipe(
+            meta_prompt=META_PROMPT,
+            seed=seed,
+            num_inference_steps=steps,
+            decode=True,
+        )
+
+    t0 = time.time()
+    out = run(28)
+    warm_s = time.time() - t0
+
+    times = []
+    for i, seed in enumerate((28, 42)):
+        t0 = time.time()
+        out = run(seed)
+        times.append(time.time() - t0)
+    sec = min(times)
+
+    assert out.images is not None and out.images.shape[-1] == 3
+    d = out.diagnostics
+    info = {
+        "build_s": round(build_s, 1),
+        "warmup_s": round(warm_s, 1),
+        "times": [round(t, 3) for t in times],
+        "refine_iters_step0": int(d.refine_iters[0]),
+        "recursions_step0": int(d.recursions[0]),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(info), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "sec/image (512x512, 50-step DDIM + guidance, SD1.5)",
+                "value": round(sec, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_SEC / sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

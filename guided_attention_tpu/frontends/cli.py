@@ -1,0 +1,161 @@
+"""CLI entry + orchestration (the reference's run.py, re-designed).
+
+Every RunConfig field is a --flag (the reference uses pyrallis,
+run.py:235-236; here a dataclass-driven argparse so no extra deps). The
+execute loop iterates seeds x hyperparameter states (reference run.py:93-135)
+but each state's batch of seeds can run as ONE sharded program over the
+device mesh instead of a serial loop.
+
+Usage:
+  python -m guided_attention_tpu.frontends.cli --meta_prompt "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]" --seeds 28 42
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from guided_attention_tpu.config import HyperParams, RunConfig, get_hyperparam_states
+from guided_attention_tpu.guidance.custom import default_registry
+from guided_attention_tpu.runtime.artifacts import (
+    ArtifactWriter,
+    annotate_image,
+    dict_to_string,
+    image_grid,
+    save_latent_stats_figure,
+    to_pil,
+)
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        if f.name in ("prompt",):
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.default_factory is not dataclasses.MISSING:  # type: ignore
+            default = f.default_factory()  # type: ignore
+        arg = f"--{f.name}"
+        if f.type in ("bool", bool):
+            parser.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
+        elif f.type in ("int", int):
+            parser.add_argument(arg, type=int, default=default)
+        elif f.type in ("float", float):
+            parser.add_argument(arg, type=float, default=default)
+        elif f.name == "seeds":
+            parser.add_argument(arg, type=int, nargs="+", default=default)
+        elif f.name in ("thresholds", "mesh_shape"):
+            parser.add_argument(arg, type=json.loads, default=default)
+        elif f.name == "scale_range":
+            parser.add_argument(arg, type=float, nargs=2, default=default)
+        else:
+            parser.add_argument(arg, type=str, default=default)
+
+
+def parse_args(argv: Optional[List[str]] = None) -> RunConfig:
+    parser = argparse.ArgumentParser(description=__doc__)
+    _add_dataclass_args(parser, RunConfig)
+    ns = parser.parse_args(argv)
+    kwargs = {f.name: getattr(ns, f.name) for f in dataclasses.fields(RunConfig) if hasattr(ns, f.name)}
+    if isinstance(kwargs.get("thresholds"), dict):
+        kwargs["thresholds"] = {int(k): float(v) for k, v in kwargs["thresholds"].items()}
+    if isinstance(kwargs.get("output_path"), str):
+        kwargs["output_path"] = Path(kwargs["output_path"])
+    if isinstance(kwargs.get("scale_range"), list):
+        kwargs["scale_range"] = tuple(kwargs["scale_range"])
+    return RunConfig(**kwargs)
+
+
+def setup(config: RunConfig):
+    """Load the model + build the pipeline (reference run.py:139-145)."""
+    from guided_attention_tpu.runner import pipeline_from_config
+
+    pipe = pipeline_from_config(config)
+    return pipe
+
+
+def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[str, Any]]] = None):
+    """Seeds x hyperparameter sweep with artifact output
+    (reference run.py:93-135)."""
+    config.ensure_output_dir()
+    base_hp = HyperParams()
+    images = []
+    image_path = None
+    for seed in config.seeds:
+        for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
+            meta_prompt = hp.meta_prompt or config.meta_prompt
+            print(f"Seed: {seed}")
+            out = pipe(
+                meta_prompt=meta_prompt,
+                seed=seed,
+                num_inference_steps=config.n_inference_steps,
+                guidance_scale=config.guidance_scale,
+                max_iter_to_alter=config.max_iter_to_alter,
+                attention_res=config.attention_res,
+                run_standard_sd=config.run_standard_sd,
+                hp=hp,
+                scale_factor=config.scale_factor,
+                scale_range=config.scale_range,
+                smooth_attentions=config.smooth_attentions,
+                sigma=config.sigma,
+                kernel_size=config.kernel_size,
+                sd_2_1=config.sd_2_1,
+                only_update_on_threshold_steps=config.only_update_on_threshold_steps,
+                sub_prompt_avg_within=config.sub_prompt_avg_within,
+                skip_inert_guidance_passes=config.skip_inert_guidance_passes,
+                diagnostic_level=config.diagnostic_level,
+            )
+            hp_state = {
+                "strict": hp.strict,
+                "inside_loss_scale": hp.inside_loss_scale,
+                "outside_loss_scale": hp.outside_loss_scale,
+                "shrink_factor": hp.shrink_factor,
+                "thresholds": hp.thresholds,
+                "use_optimizer": hp.use_optimizer,
+                "recurse_until": hp.recurse_until,
+                "recurse_steps": hp.recurse_steps,
+            }
+            writer = ArtifactWriter(
+                config.output_path,
+                meta_prompt,
+                seed,
+                dict_to_string(hp_state),
+                interactive=config.interactive,
+            )
+            words = {tok: word for tok, word in out.spec.words}
+            img, image_path = writer.write_final_image(out, out.annotations, config.annotate)
+            writer.write_run_log(out, words)
+            if config.diagnostic_level > 0:
+                save_latent_stats_figure(
+                    out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
+                )
+            writer.write_step_maps(out, words)
+            always_save = [0, 1, 2]  # pipeline:881
+            if config.diagnostic_level > 0 or always_save:
+                writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)
+            images.append(img)
+
+    grid = image_grid(images)
+    if not config.interactive:
+        annotate_image(grid, out.annotations, size=grid.size[0])
+    grid.save(config.output_path / f"{writer.clean}.png")
+    return image_path
+
+
+def main(argv: Optional[List[str]] = None):
+    config = parse_args(argv)
+    pipe = setup(config)
+    # default custom-loss registrations happen in the pipeline's registry
+    if config.interactive:
+        from guided_attention_tpu.frontends.gui import run_server
+
+        run_server(config, pipe)
+    else:
+        execute(config, pipe)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Sharded multi-seed / multi-prompt batch generation.
+
+Replaces the reference's serial seed x hyperparameter Python loop
+(reference run.py:97-98) with one compiled program: the single-sample
+generate fn (pipeline.build_generate_raw) is vmapped over the batch and
+jitted with the batch axis sharded over the mesh's "data" axis; UNet
+params follow the TP rules over "tensor" (parallel/mesh.py). XLA GSPMD
+inserts all collectives; there is no hand-written communication because the
+algorithm needs none across samples (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from guided_attention_tpu.config import HyperParams
+from guided_attention_tpu.parallel.mesh import DEFAULT_TP_RULES, param_shardings
+from guided_attention_tpu.pipeline import GenStatics, build_generate_raw
+
+
+def build_batch_generate(
+    sd,
+    statics: GenStatics,
+    hp: HyperParams,
+    mesh: Mesh,
+    per_prompt_emb: bool = False,
+    per_prompt_spec: bool = False,
+    tp_rules=DEFAULT_TP_RULES,
+):
+    """Returns ``generate(params, emb, latents0, spec, sched, arrays, keys)``
+    over a leading batch axis on latents0/keys (and emb/spec when the
+    per_prompt_* flags are set — specs must share their static structure,
+    i.e. the same number of sub-prompt groups and custom losses).
+    """
+    raw = build_generate_raw(sd, statics, hp)
+    vmapped = jax.vmap(
+        raw,
+        in_axes=(
+            None,  # params
+            0 if per_prompt_emb else None,
+            0,  # latents0
+            0 if per_prompt_spec else None,
+            None,  # sched
+            None,  # arrays
+            0,  # keys
+        ),
+    )
+
+    data = P("data")
+    replicated = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, data)
+
+    def arg_shardings(params):
+        return (
+            param_shardings(params, mesh, tp_rules),
+            batched if per_prompt_emb else replicated,
+            batched,
+            batched if per_prompt_spec else replicated,
+            replicated,
+            replicated,
+            batched,
+        )
+
+    def make(params):
+        return jax.jit(
+            vmapped,
+            in_shardings=arg_shardings(params),
+            out_shardings=(batched, batched),
+            donate_argnums=(2,),
+        )
+
+    # jit is resolved lazily per params structure; cache one instance
+    cache = {}
+
+    def generate(params, emb, latents0, spec, sched, arrays, keys):
+        key = id(sd)
+        if key not in cache:
+            cache[key] = make(params)
+        return cache[key](params, emb, latents0, spec, sched, arrays, keys)
+
+    return generate

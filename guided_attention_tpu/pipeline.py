@@ -144,15 +144,16 @@ def aggregate_cross_maps(maps: Dict[str, Any], res: int, from_where=("up", "down
     return out.reshape(res, res, K)
 
 
-def build_generate(
+def build_generate_raw(
     sd: StableDiffusion,
     statics: GenStatics,
     hp: HyperParams,
     from_where: Tuple[str, ...] = ("up", "down", "mid"),
 ):
-    """Returns a jitted ``generate(params, emb, latents0, spec, sched,
-    arrays, key) -> (final_latents, StepDiag[S])`` for batch size 1
-    (vmap/shard for batches — see parallel/batch.py)."""
+    """Returns the un-jitted ``generate(params, emb, latents0, spec, sched,
+    arrays, key) -> (final_latents, StepDiag[S])`` for batch size 1 —
+    vmap/shard it for batches (parallel/batch.py) or jit directly
+    (build_generate)."""
     unet = sd.unet
     R = statics.attention_res
     S = statics.num_steps
@@ -418,4 +419,9 @@ def build_generate(
         )
         return final_latents, diags
 
-    return jax.jit(generate, donate_argnums=(2,))
+    return generate
+
+
+def build_generate(sd, statics, hp, from_where=("up", "down", "mid")):
+    """Jitted single-sample generate (latents donated)."""
+    return jax.jit(build_generate_raw(sd, statics, hp, from_where), donate_argnums=(2,))

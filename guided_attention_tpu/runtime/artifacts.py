@@ -1,0 +1,248 @@
+"""Host-side artifact sink: logs, attention-map PNGs, x0 snapshots, overlays.
+
+The reference writes all of this synchronously from inside the denoising
+loop (reference pipeline_guided_attention.py:1096-1123, utils/helpers.py:
+292-349, run.py:113-134). Here the compiled program returns stacked
+per-step diagnostics (pipeline.StepDiag) and this module materializes the
+same artifact tree afterwards — the hot loop never touches the host.
+
+Output tree parity:
+  outputs/{meta_prompt_clean}/{seed}{hyper}.png        final image
+  outputs/{meta_prompt_clean}/{seed}{hyper}.txt        run log (schema below)
+  outputs/{meta_prompt_clean}/{seed}{hyper}figure.png  latent-stats figure
+  outputs/{meta_prompt_clean}/{seed}/_attnmap_{token}_...iter_{i:02d}..._subiter_{k:02d}.png
+  outputs/{meta_prompt_clean}/{seed}/..._pred....png    x0 predictions
+  outputs/{meta_prompt_clean}.png                       grid across seeds
+
+Log schema (machine-parsed back by the batch_map_view viewer, reference
+utils/batch_map_view.py:46-54):
+  "{iter:02d}.{subiter:02d} loss for {word}: {value}"
+"""
+from __future__ import annotations
+
+import math
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from guided_attention_tpu.annotation import Annotation, AnnotationType, meta_prompt_clean
+
+COLORS = ["#0000a0", "#a00000", "#00a000", "#ecf024", "#8d24f0"]  # helpers.py:125
+
+
+def get_color(i: int) -> str:
+    return COLORS[i % len(COLORS)]
+
+
+class RunLog:
+    """In-memory line log (reference helpers.py:292-307)."""
+
+    def __init__(self):
+        self.lines: List[str] = []
+
+    def log(self, text: str, also_print: bool = False):
+        self.lines.append(text + os.linesep)
+        if also_print:
+            print(text)
+
+    def clear(self):
+        self.lines = []
+
+    def save(self, filename):
+        Path(filename).parent.mkdir(parents=True, exist_ok=True)
+        with open(filename, "w") as fp:
+            fp.writelines(self.lines)
+        self.clear()
+
+
+def dict_to_string(d) -> str:
+    """Hyperparameter state -> filename suffix (reference helpers.py:281-290)."""
+    if isinstance(d, dict):
+        s = ""
+        for k, v in d.items():
+            if k == "meta_prompt":
+                continue
+            s += "_" + str(k) + "_" + dict_to_string(v)
+        return s
+    return str(d)
+
+
+def save_viridis(map2d: np.ndarray, path: Path) -> None:
+    """Normalized map -> viridis PNG (reference pipeline:1096-1103)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(map2d, np.float32)
+    x = x - x.min()
+    mx = x.max()
+    if mx > 0:
+        x = x / mx
+    path.parent.mkdir(parents=True, exist_ok=True)
+    plt.imsave(path, x)
+
+
+def to_pil(image01: np.ndarray):
+    from PIL import Image
+
+    arr = (np.clip(np.asarray(image01, np.float32), 0, 1) * 255).round().astype(np.uint8)
+    return Image.fromarray(arr)
+
+
+def annotate_image(pil_img, annotations: Sequence[Annotation], size: int = 512) -> None:
+    """Draw crosshairs / boxes / labels in place (reference helpers.py:129-152)."""
+    from PIL import ImageDraw, ImageFont
+
+    draw = ImageDraw.Draw(pil_img)
+    try:
+        font = ImageFont.truetype("arial.ttf", 20)
+    except Exception:
+        font = ImageFont.load_default()
+    for i, ann in enumerate(annotations):
+        color = get_color(i)
+        if ann.kind == AnnotationType.COOR:
+            x, y = ann.target
+            px, py = x * size, y * size
+            ln = 15
+            draw.line([(px - ln, py), (px + ln, py)], fill=color)
+            draw.line([(px, py - ln), (px, py + ln)], fill=color)
+            draw.text((px, py), ann.subprompt, fill=color, font=font)
+        elif ann.kind == AnnotationType.BOX:
+            r = ann.target
+            draw.rectangle(
+                [(r.x * size, r.y * size), (r.right * size, r.bottom * size)],
+                outline=color,
+                width=2,
+            )
+            draw.text((r.x * size, r.y * size), ann.subprompt, fill=color, font=font)
+
+
+def image_grid(images: List) -> "object":
+    """Square-ish grid of PIL images (reference vis_utils.py:63-73)."""
+    from PIL import Image
+
+    n = len(images)
+    cols = int(math.ceil(math.sqrt(n)))
+    rows = int(math.ceil(n / cols))
+    w, h = images[0].size
+    grid = Image.new("RGB", (cols * w, rows * h))
+    for i, img in enumerate(images):
+        grid.paste(img, ((i % cols) * w, (i // cols) * h))
+    return grid
+
+
+def save_latent_stats_figure(diag, path: Path) -> None:
+    """means + p99 per channel over steps (reference helpers.py:335-349)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    C = diag.latent_mean.shape[-1]
+    for c in range(C):
+        ax.plot(diag.latent_mean[:, c], label=f"ch{c} mean")
+        ax.plot(diag.latent_p99[:, c], label=f"ch{c} 99")
+    ax.legend(loc="best")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+class ArtifactWriter:
+    """Materialize a PipelineOutput's diagnostics into the reference's
+    artifact tree for one (seed, hyperparam-state) run."""
+
+    def __init__(
+        self,
+        output_path: Path,
+        meta_prompt: str,
+        seed: int,
+        hyper_suffix: str = "",
+        interactive: bool = False,
+    ):
+        self.root = Path(output_path)
+        self.clean = meta_prompt_clean(meta_prompt, interactive)
+        self.seed = seed
+        self.hyper_suffix = hyper_suffix
+        self.run_dir = self.root / self.clean
+        self.step_dir = self.run_dir / str(seed)
+        self.log = RunLog()
+
+    def _state_name(self, step: int, subiter: int) -> str:
+        # reference shared_state.get_name() tags (shared_state.py:39-51)
+        return (
+            f"cur_seed_{self.seed}_cur_time_step_iter_{step:02d}_"
+            f"optimizeDeepLatent_False__subiter_{subiter:02d}"
+        )
+
+    def write_run_log(self, out, words: Dict[int, str]) -> None:
+        """Reconstruct the reference's log lines from stacked diagnostics."""
+        d = out.diagnostics
+        S = d.total_loss.shape[0]
+        for i in range(S):
+            self.log.log(f"iteration {i}")
+            n_slots = int(d.eval_mask[i].sum())
+            for k in range(d.eval_mask.shape[1]):
+                if not d.eval_mask[i, k]:
+                    continue
+                for tok, word in words.items():
+                    self.log.log(
+                        f"{i:02d}.{k:02d} loss for {word}: {float(d.eval_unscaled[i, k, tok])}"
+                    )
+            for tok, word in words.items():
+                self.log.log(f"{word}: {float(d.token_attn_sum[i, tok])}")
+                self.log.log(f"weighted center col: {float(d.col[i, tok])}")
+                self.log.log(f"weighted center row: {float(d.row[i, tok])}")
+            if d.did_update[i]:
+                self.log.log(
+                    f"\t Finished with loss of: {float(d.total_loss[i])} iter: {int(d.refine_iters[i])}"
+                )
+            self.log.log(f"Iteration {i} | Loss: {float(d.total_loss[i]):0.4f}")
+        self.log.save(self.run_dir / f"{self.seed}{self.hyper_suffix}.txt")
+
+    def write_step_maps(self, out, words: Dict[int, str], only_eval_steps: bool = True) -> None:
+        """Per-token 16x16 attention-map PNGs named for batch_map_view."""
+        d = out.diagnostics
+        S = d.maps.shape[0]
+        for i in range(S):
+            if only_eval_steps and not d.eval_mask[i].any():
+                continue
+            subiter = max(int(d.eval_mask[i].sum()) - 1, 0)
+            for tok, word in words.items():
+                fname = (
+                    f"_attnmap_{word}_{self.clean}{self._state_name(i, subiter)}.png"
+                )
+                save_viridis(d.maps[i, :, :, tok], self.step_dir / fname)
+
+    def write_x0_preds(self, out, decode_fn, steps: Sequence[int]) -> None:
+        """Decode + save x0 predictions for selected steps (reference
+        always_save_iter=[0,1,2], pipeline:881,1036)."""
+        d = out.diagnostics
+        import numpy as np
+
+        for i in steps:
+            if i >= d.x0_pred.shape[0]:
+                continue
+            img01 = np.asarray(decode_fn(d.x0_pred[i][None]))[0]
+            fname = (self.clean + self._state_name(i, 0) + "_pred").replace(".", "_") + ".png"
+            p = self.step_dir / fname
+            p.parent.mkdir(parents=True, exist_ok=True)
+            to_pil(img01).save(p)
+
+    def write_final_image(self, out, annotations, annotate: bool = False):
+        img = to_pil(out.images[0])
+        if annotate:
+            annotate_image(img, annotations, size=img.size[0])
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        path = self.run_dir / f"{self.seed}{self.hyper_suffix}.png"
+        try:
+            img.save(path)
+        except OSError:
+            # path-too-long fallback (reference run.py:119-125)
+            path = self.run_dir / f"{self.seed}.png"
+            img.save(path)
+        return img, path

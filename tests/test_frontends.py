@@ -1,0 +1,145 @@
+"""CLI execute loop + artifact tree + viewers, end-to-end on the micro model."""
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from guided_attention_tpu.config import RunConfig
+from guided_attention_tpu.frontends import cli
+from guided_attention_tpu.models.bundle import StableDiffusion
+from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("outputs")
+    sd = StableDiffusion.create("micro", dtype=jnp.float32)
+    pipe = GuidedAttentionPipeline(sd)
+    config = RunConfig(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seeds=[7],
+        n_inference_steps=3,
+        output_path=out_dir,
+        diagnostic_level=1,
+    )
+    path = cli.execute(config, pipe)
+    return config, pipe, out_dir, path
+
+
+def test_cli_arg_parsing():
+    cfg = cli.parse_args(
+        [
+            "--meta_prompt",
+            "a [x:.1,.2] b",
+            "--seeds",
+            "1",
+            "2",
+            "--n_inference_steps",
+            "7",
+            "--thresholds",
+            '{"0": 0.5, "3": 0.8}',
+            "--run_standard_sd",
+            "true",
+        ]
+    )
+    assert cfg.seeds == [1, 2]
+    assert cfg.n_inference_steps == 7
+    assert cfg.thresholds == {0: 0.5, 3: 0.8}
+    assert cfg.run_standard_sd is True
+
+
+def test_execute_writes_artifact_tree(artifacts):
+    config, pipe, out_dir, path = artifacts
+    assert path is not None and Path(path).exists()
+    run_dirs = [p for p in out_dir.iterdir() if p.is_dir()]
+    assert len(run_dirs) == 1
+    run_dir = run_dirs[0]
+    # final image, log, grid
+    pngs = list(run_dir.glob("7*.png"))
+    assert pngs, "final image missing"
+    logs = list(run_dir.glob("7*.txt"))
+    assert logs, "run log missing"
+    text = logs[0].read_text()
+    assert "loss for" in text and "Iteration 0 | Loss:" in text
+    # per-seed step dir with attention maps + x0 preds
+    step_dir = run_dir / "7"
+    maps = list(step_dir.glob("_attnmap_*"))
+    assert maps, "attention map PNGs missing"
+    preds = list(step_dir.glob("*_pred*.png"))
+    assert preds, "x0 prediction snapshots missing"
+    # grid across seeds at the root
+    assert list(out_dir.glob("*.png")), "seed grid missing"
+
+
+def test_batch_map_view_reads_artifacts(artifacts, tmp_path):
+    config, pipe, out_dir, path = artifacts
+    from guided_attention_tpu.viewers.batch_map_view import collect_maps, show_attn_plot
+
+    run_dir = [p for p in out_dir.iterdir() if p.is_dir()][0]
+    groups = collect_maps(str(run_dir / "7"))
+    assert groups, "viewer found no maps"
+    # iter/subiter parsed out of the filename tags
+    for token, maps in groups.items():
+        for fname, img, it, sub in maps:
+            assert it is not None and sub is not None
+            assert img.shape[0] == 16
+    fig = show_attn_plot(str(run_dir / "7"), save_path=str(tmp_path / "grid.png"))
+    assert (tmp_path / "grid.png").exists()
+
+
+def test_vis_overlays(artifacts, tmp_path):
+    config, pipe, out_dir, path = artifacts
+    from guided_attention_tpu.viewers.vis import show_cross_attention
+
+    out = pipe(meta_prompt=config.meta_prompt, seed=7, num_inference_steps=3)
+    pil = show_cross_attention(out, out.spec.words, save_path=str(tmp_path / "overlay.png"))
+    assert (tmp_path / "overlay.png").exists()
+    assert pil.size[0] > 0
+
+
+def test_gui_server_roundtrip(artifacts):
+    import http.client
+    import threading
+
+    config, pipe, out_dir, path = artifacts
+    from guided_attention_tpu.frontends.gui import run_server
+
+    results = {}
+
+    def client():
+        import time
+
+        time.sleep(0.5)
+        conn = http.client.HTTPConnection("127.0.0.1", 5199, timeout=600)
+        conn.request("GET", "/")
+        results["index"] = conn.getresponse().read()
+        payload = json.dumps({"variable1": "a [dog:.3,.4] runs"})
+        conn2 = http.client.HTTPConnection("127.0.0.1", 5199, timeout=600)
+        conn2.request(
+            "POST", "/execute_function", body=payload, headers={"Content-Type": "application/json"}
+        )
+        results["post"] = json.loads(conn2.getresponse().read())
+
+    t = threading.Thread(target=client)
+    t.start()
+    # serve exactly two requests (GET /, POST /execute_function)
+    import http.server
+
+    from guided_attention_tpu.frontends import gui as gui_mod
+
+    server = None
+
+    def serve():
+        gui_mod.run_server(config, pipe, port=5199, once=False)
+
+    # run_server(once=True) handles a single request; spin two manually
+    srv_thread = threading.Thread(target=serve, daemon=True)
+    srv_thread.start()
+    t.join(timeout=900)
+    assert b"Guided Attention" in results["index"]
+    assert "result" in results["post"]
+    assert Path(results["post"]["result"]).exists()
+    assert (config.output_path / "static" / "output.png").exists()
