@@ -74,10 +74,15 @@ def main():
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(info), file=sys.stderr)
+    metric = (
+        "sec/image (SMOKE: micro model, 4 steps)"
+        if quick
+        else "sec/image (512x512, 50-step DDIM + guidance, SD1.5)"
+    )
     print(
         json.dumps(
             {
-                "metric": "sec/image (512x512, 50-step DDIM + guidance, SD1.5)",
+                "metric": metric,
                 "value": round(sec, 3),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_SEC / sec, 3),

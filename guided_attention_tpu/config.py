@@ -39,6 +39,10 @@ class HyperParams:
     # the loss (pipeline:291 vs 398-451); 0.0 keeps reference parity, >0
     # enables `1 - max_attn` excitation for KEYWORD-annotated tokens.
     keyword_max_loss_scale: float = 0.0
+    # Optimize the UNet bottleneck features instead of the latent (reference
+    # shared_state.optimizeDeepLatent + pipeline:583-743 injection; grad
+    # scale x200 per pipeline:464). Losses then aggregate "up" maps only.
+    optimize_deep_latent: bool = False
     meta_prompt: Optional[str] = None  # per-state meta-prompt override
 
     def replace(self, **kw) -> "HyperParams":

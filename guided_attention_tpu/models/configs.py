@@ -31,7 +31,7 @@ def sd15_config(dtype: Any = jnp.bfloat16) -> StableDiffusionConfig:
     """SD 1.4 / 1.5 architecture (they share it)."""
     return StableDiffusionConfig(
         name="sd15",
-        unet=UNetConfig(dtype=dtype),
+        unet=UNetConfig(dtype=dtype, use_flash_attention=True),
         clip=CLIPTextConfig(dtype=dtype),
         vae=VAEConfig(dtype=dtype),
     )
@@ -45,6 +45,7 @@ def sd21_config(dtype: Any = jnp.bfloat16) -> StableDiffusionConfig:
             cross_attention_dim=1024,
             num_heads=(5, 10, 20, 20),  # head_dim 64
             use_linear_projection=True,
+            use_flash_attention=True,
             dtype=dtype,
         ),
         clip=CLIPTextConfig(

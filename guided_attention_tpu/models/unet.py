@@ -149,6 +149,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     dtype: Any = jnp.float32
     use_flash_self: bool = False
+    use_flash_cross: bool = False
 
     @nn.compact
     def __call__(self, x, context, capture_self=False, capture_cross=False, pww_mask=None, pww_gate=None):
@@ -156,7 +157,9 @@ class BasicTransformerBlock(nn.Module):
             self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_self, name="attn1"
         )(nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype), None, capture=capture_self)
         x = x + h
-        h, cross_map = CrossAttention(self.dim, self.heads, self.dim_head, self.dtype, name="attn2")(
+        h, cross_map = CrossAttention(
+            self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_cross, name="attn2"
+        )(
             nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype),
             context,
             capture=capture_cross,
@@ -179,6 +182,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     dtype: Any = jnp.float32
     use_flash_self: bool = False
+    use_flash_cross: bool = False
 
     @nn.compact
     def __call__(self, x, context, capture: CaptureSpec, pww=None, pww_gate=None):
@@ -198,7 +202,13 @@ class Transformer2D(nn.Module):
             h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
             h = h.reshape(b, hgt * wdt, inner)
         h, self_map, cross_map = BasicTransformerBlock(
-            inner, self.heads, self.dim_head, self.dtype, self.use_flash_self, name="transformer_blocks_0"
+            inner,
+            self.heads,
+            self.dim_head,
+            self.dtype,
+            self.use_flash_self,
+            self.use_flash_cross,
+            name="transformer_blocks_0",
         )(h, context, capture_self, capture_cross, pww_mask, pww_gate)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
@@ -283,6 +293,7 @@ class UNet2DCondition(nn.Module):
                         cfg.norm_num_groups,
                         dtype,
                         cfg.use_flash_attention and (h.shape[1] * h.shape[2]) >= cfg.flash_min_seq,
+                        cfg.use_flash_attention,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, ctx, capture, pww, pww_gate)
                     collect("down", sm, cm)
@@ -309,6 +320,7 @@ class UNet2DCondition(nn.Module):
             cfg.norm_num_groups,
             dtype,
             False,
+            cfg.use_flash_attention,
             name="mid_block_attentions_0",
         )(h, ctx, capture, pww, pww_gate)
         collect("mid", sm, cm)
@@ -333,6 +345,7 @@ class UNet2DCondition(nn.Module):
                         cfg.norm_num_groups,
                         dtype,
                         cfg.use_flash_attention and (h.shape[1] * h.shape[2]) >= cfg.flash_min_seq,
+                        cfg.use_flash_attention,
                         name=f"up_blocks_{i}_attentions_{j}",
                     )(h, ctx, capture, pww, pww_gate)
                     collect("up", sm, cm)

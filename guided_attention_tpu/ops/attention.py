@@ -69,11 +69,23 @@ def attention(
     head_dim = c // heads
     scale = 1.0 / (head_dim**0.5)
 
-    if use_flash and not capture and pww_mask is None:
-        from guided_attention_tpu.ops.flash_attention import flash_attention
+    if use_flash and pww_mask is None:
+        # the self-attention kernel assumes tile-aligned KV (no key mask);
+        # self-attn always satisfies it, short cross KV (77) falls through
+        if not capture and k.shape[1] == nq:
+            from guided_attention_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(split_heads(q, heads), split_heads(k, heads), split_heads(v, heads), scale)
-        return merge_heads(out).astype(dtype), None
+            out = flash_attention(
+                split_heads(q, heads), split_heads(k, heads), split_heads(v, heads), scale
+            )
+            return merge_heads(out).astype(dtype), None
+        if capture and k.shape[1] != nq:  # cross-attention with fused map side-output
+            from guided_attention_tpu.ops.flash_attention import cross_attention_with_map
+
+            out, pooled = cross_attention_with_map(
+                split_heads(q, heads), split_heads(k, heads), split_heads(v, heads), scale
+            )
+            return merge_heads(out).astype(dtype), pooled
 
     qh = split_heads(q, heads)
     kh = split_heads(k, heads)

@@ -164,13 +164,20 @@ def build_generate_raw(
     recurse_steps = max(int(hp.recurse_steps), 1)
     recurse_until = int(hp.recurse_until)
     guided_mode = not statics.run_standard_sd
+    deep_mode = bool(hp.optimize_deep_latent) and guided_mode
+    ucfg = sd.config.unet
+    _deep_res = ucfg.sample_size // 2 ** (len(ucfg.block_out_channels) - 1)
+    deep_shape = (1, _deep_res, _deep_res, ucfg.block_out_channels[-1])
+
+    def _zero_deep():
+        return jnp.zeros(deep_shape, ucfg.dtype)
 
     def generate(params, emb, latents0, spec: GuidanceSpec, sched: DDIMSchedule, arrays: StepArrays, key):
         uncond, cond = emb[0:1], emb[1:2]
         pww = spec.pww_masks if spec.pww_masks else None
         C = latents0.shape[-1]
 
-        def unet_eps(latents, t, context, cap=frozenset(), gate=None):
+        def unet_eps(latents, t, context, cap=frozenset(), gate=None, deep_inject=None):
             eps, aux = unet.apply(
                 {"params": params["unet"]},
                 latents,
@@ -179,16 +186,25 @@ def build_generate_raw(
                 capture=cap,
                 pww=pww,
                 pww_gate=gate,
+                deep_inject=deep_inject,
             )
             return eps, aux
 
-        def guidance_eval(latents, t, gate):
-            """Pure loss of the latent through the cond-only UNet (the
-            reference's grad-enabled forward + loss, pipeline:946-973)."""
+        def guidance_eval(base_latents, t, gate, var):
+            """Pure loss of the optimization variable ``var`` through the
+            cond-only UNet (the reference's grad-enabled forward + loss,
+            pipeline:946-973). Normal mode: ``var`` is the current latent.
+            Deep mode (hp.optimize_deep_latent): ``var`` is the injected
+            bottleneck features, ``base_latents`` stays fixed, and losses
+            aggregate "up" maps only (pipeline:306-307)."""
+            agg_from = ("up",) if deep_mode else from_where
 
-            def loss_fn(lat):
-                _eps, aux = unet_eps(lat, t, cond, capture, gate)
-                maps = aggregate_cross_maps(aux["maps"], R, from_where)
+            def loss_fn(v):
+                if deep_mode:
+                    _eps, aux = unet_eps(base_latents, t, cond, capture, gate, deep_inject=v)
+                else:
+                    _eps, aux = unet_eps(v, t, cond, capture, gate)
+                maps = aggregate_cross_maps(aux["maps"], R, agg_from)
                 stats = compute_token_stats(
                     maps, spec, hp, statics.smooth_attentions, statics.sigma, statics.kernel_size
                 )
@@ -208,7 +224,7 @@ def build_generate_raw(
                 }
                 return total, aux_out
 
-            return jax.value_and_grad(loss_fn, has_aux=True)(latents)
+            return jax.value_and_grad(loss_fn, has_aux=True)(var)
 
         def zero_eval_aux():
             return {
@@ -223,65 +239,78 @@ def build_generate_raw(
             }
 
         def guided_update(latents, i, t, gate):
-            """Refinement + gradient update for one step (pipeline:961-1007)."""
+            """Refinement + gradient update for one step (pipeline:961-1007).
+
+            Operates on the optimization variable ``var``: the latent in
+            normal mode, the captured bottleneck features in deep mode
+            (whose gradient is scaled x200, pipeline:464). Returns the
+            (possibly updated) latent AND the final deep features."""
             step_size = arrays.step_sizes[i]
+            lr = step_size * 200.0 if deep_mode else step_size
             thresh_i = arrays.thresholds[i]
             eval_buf = jnp.zeros((R_sub, K))
             eval_mask = jnp.zeros((R_sub,), bool)
 
-            (loss0, aux0), grad0 = guidance_eval(latents, t, gate)
+            if deep_mode:
+                # fresh capture of the bottleneck (reference pipeline:704,
+                # injectDeepFeatures reset per step at :935); injecting the
+                # just-captured features reproduces that same forward
+                _eps0, cap0 = unet_eps(latents, t, cond, frozenset(), gate)
+                var = cap0["deep"]
+            else:
+                var = latents
+
+            (loss0, aux0), grad0 = guidance_eval(latents, t, gate, var)
             eval_buf = eval_buf.at[0].set(aux0["unscaled_tok"])
             eval_mask = eval_mask.at[0].set(True)
 
             needs_refine = ~meets_threshold(aux0["gu"], aux0["valid"], thresh_i)
 
             def do_refine(op):
-                lat0, gu0, buf0, mask0 = op
-                vel0 = jnp.zeros_like(lat0)
+                var0, gu0, buf0, mask0 = op
+                vel0 = jnp.zeros_like(var0)
 
                 def cond_fn(c):
-                    it, lat, gu, buf, mask, vel = c
+                    it, v, gu, buf, mask, vel = c
                     return jnp.logical_and(
                         ~meets_threshold(gu, aux0["valid"], thresh_i),
                         it < statics.max_refinement_steps,
                     )
 
                 def body_fn(c):
-                    it, lat, gu, buf, mask, vel = c
-                    (loss, aux), grad = guidance_eval(lat, t, gate)
+                    it, v, gu, buf, mask, vel = c
+                    (loss, aux), grad = guidance_eval(latents, t, gate, v)
                     if hp.use_optimizer:
                         # SGD + momentum, lr = step/2.5 (pipeline:495-497)
-                        vel = (0.8 * vel + grad).astype(lat.dtype)
-                        lat2 = (lat - (step_size / 2.5) * vel).astype(lat.dtype)
+                        vel = (0.8 * vel + grad).astype(v.dtype)
+                        v2 = (v - (lr / 2.5) * vel).astype(v.dtype)
                     else:
-                        lat2 = jnp.where(
-                            loss != 0.0, (lat - step_size * grad).astype(lat.dtype), lat
-                        )
+                        v2 = jnp.where(loss != 0.0, (v - lr * grad).astype(v.dtype), v)
                     buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], it + 1, 0)
                     mask = jax.lax.dynamic_update_index_in_dim(
                         mask, jnp.asarray(True), it + 1, 0
                     )
-                    return (it + 1, lat2, aux["gu"], buf, mask, vel)
+                    return (it + 1, v2, aux["gu"], buf, mask, vel)
 
-                it_f, lat_f, _gu, buf_f, mask_f, _vel = jax.lax.while_loop(
-                    cond_fn, body_fn, (0, lat0, gu0, buf0, mask0, vel0)
+                it_f, var_f, _gu, buf_f, mask_f, _vel = jax.lax.while_loop(
+                    cond_fn, body_fn, (0, var0, gu0, buf0, mask0, vel0)
                 )
                 # final fresh forward, no update (pipeline:564-578)
-                (loss_f, aux_f), grad_f = guidance_eval(lat_f, t, gate)
+                (loss_f, aux_f), grad_f = guidance_eval(latents, t, gate, var_f)
                 buf_f = jax.lax.dynamic_update_index_in_dim(
                     buf_f, aux_f["unscaled_tok"], R_sub - 1, 0
                 )
                 mask_f = jax.lax.dynamic_update_index_in_dim(
                     mask_f, jnp.asarray(True), R_sub - 1, 0
                 )
-                return lat_f, loss_f, aux_f, grad_f, it_f, buf_f, mask_f
+                return var_f, loss_f, aux_f, grad_f, it_f, buf_f, mask_f
 
             def no_refine(op):
-                lat0, gu0, buf0, mask0 = op
-                return lat0, loss0, aux0, grad0, jnp.int32(0), buf0, mask0
+                var0, gu0, buf0, mask0 = op
+                return var0, loss0, aux0, grad0, jnp.int32(0), buf0, mask0
 
-            lat1, loss1, aux1, grad1, refine_iters, eval_buf, eval_mask = jax.lax.cond(
-                needs_refine, do_refine, no_refine, (latents, aux0["gu"], eval_buf, eval_mask)
+            var1, loss1, aux1, grad1, refine_iters, eval_buf, eval_mask = jax.lax.cond(
+                needs_refine, do_refine, no_refine, (var, aux0["gu"], eval_buf, eval_mask)
             )
 
             # gradient update gate (pipeline:998-1007); meets_threshold(-1,...)
@@ -289,28 +318,43 @@ def build_generate_raw(
             gate_step = arrays.update_gate[i]
             not_met_last = ~meets_threshold(aux1["gu"], aux1["valid"], statics.last_threshold)
             apply = jnp.logical_and(gate_step, not_met_last)
-            lat2 = jnp.where(
+            var2 = jnp.where(
                 jnp.logical_and(apply, loss1 != 0.0),
-                (lat1 - step_size * grad1).astype(lat1.dtype),
-                lat1,
+                (var1 - lr * grad1).astype(var1.dtype),
+                var1,
             )
             did_update = jnp.logical_or(needs_refine, apply)
-            return lat2, did_update, loss1, aux1, refine_iters, eval_buf, eval_mask
+            if deep_mode:
+                return latents, var2, did_update, loss1, aux1, refine_iters, eval_buf, eval_mask
+            return var2, _zero_deep(), did_update, loss1, aux1, refine_iters, eval_buf, eval_mask
 
-        def cfg_and_step(latents, i, t, gate):
-            """Batch-2 CFG forward + DDIM (pipeline:1010-1029)."""
+        def _cfg_eps(latents, t, gate, deep_inject=None):
             if do_cfg:
                 pair = jnp.concatenate([latents, latents], axis=0)
                 ctx = jnp.concatenate([uncond, cond], axis=0)
-                eps_pair, _ = unet_eps(pair, t, ctx, frozenset(), gate)
+                eps_pair, _ = unet_eps(pair, t, ctx, frozenset(), gate, deep_inject)
                 eps_u, eps_c = eps_pair[0:1], eps_pair[1:2]
-                eps = eps_u + statics.guidance_scale * (eps_c - eps_u)
+                return eps_u + statics.guidance_scale * (eps_c - eps_u)
+            eps, _ = unet_eps(latents, t, cond, frozenset(), gate, deep_inject)
+            return eps
+
+        def cfg_and_step(latents, i, t, gate, deep, use_deep):
+            """Batch-2 CFG forward + DDIM (pipeline:1010-1029). In deep mode
+            the CFG pass injects the optimized bottleneck features when the
+            step actually optimized them (reference injectDeepFeatures,
+            pipeline:693-706)."""
+            if deep_mode:
+                eps = jax.lax.cond(
+                    use_deep,
+                    lambda: _cfg_eps(latents, t, gate, deep),
+                    lambda: _cfg_eps(latents, t, gate, None),
+                )
             else:
-                eps, _ = unet_eps(latents, t, cond, frozenset(), gate)
+                eps = _cfg_eps(latents, t, gate)
             prev, x0 = ddim_step(sched, i, eps.astype(jnp.float32), latents.astype(jnp.float32))
             return prev, x0
 
-        def one_pass(latents, i, t, gate, key_r):
+        def one_pass(latents, i, t, gate):
             """guidance + CFG + scheduler for one recursion iteration."""
             if guided_mode:
                 pred = arrays.guidance_needed[i] if statics.skip_inert_guidance_passes else jnp.asarray(True)
@@ -321,6 +365,7 @@ def build_generate_raw(
                 def skip(lat):
                     return (
                         lat,
+                        _zero_deep(),
                         jnp.asarray(False),
                         jnp.zeros(()),
                         zero_eval_aux(),
@@ -329,12 +374,13 @@ def build_generate_raw(
                         jnp.zeros((R_sub,), bool),
                     )
 
-                lat2, did_update, loss, aux, refine_iters, eval_buf, eval_mask = jax.lax.cond(
+                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask = jax.lax.cond(
                     pred, run, skip, latents
                 )
             else:
-                lat2, did_update, loss, aux, refine_iters, eval_buf, eval_mask = (
+                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask = (
                     latents,
+                    _zero_deep(),
                     jnp.asarray(False),
                     jnp.zeros(()),
                     zero_eval_aux(),
@@ -342,7 +388,7 @@ def build_generate_raw(
                     jnp.zeros((R_sub, K)),
                     jnp.zeros((R_sub,), bool),
                 )
-            prev, x0 = cfg_and_step(lat2, i, t, gate)
+            prev, x0 = cfg_and_step(lat2, i, t, gate, deep, did_update)
             # scheduler math runs fp32; the carried latent keeps the compute dtype
             return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask
 
@@ -358,9 +404,7 @@ def build_generate_raw(
 
                 def recur_body(c):
                     r, done, work, out, pack = c
-                    prev, x0, did_update, loss, aux, ri, ebuf, emask = one_pass(
-                        work, i, t, gate, None
-                    )
+                    prev, x0, did_update, loss, aux, ri, ebuf, emask = one_pass(work, i, t, gate)
                     done2 = jnp.logical_or(
                         jnp.logical_or(i > recurse_until, ~did_update),
                         r + 1 >= recurse_steps,
@@ -387,7 +431,7 @@ def build_generate_raw(
                 x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, recursions = pack
             else:
                 prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask = one_pass(
-                    latents, i, t, gate, None
+                    latents, i, t, gate
                 )
                 recursions = jnp.int32(1)
 

@@ -88,3 +88,18 @@ def test_bfloat16_compute_path():
     out = p(meta_prompt="a [dog:.2,.3] x", seed=3, num_inference_steps=3, thresholds={0: 0.5})
     assert np.isfinite(out.latents.astype(np.float32)).all()
     assert out.diagnostics.refine_iters[0] > 0
+
+
+def test_deep_latent_optimization_mode(pipe):
+    """optimize_deep_latent steers via the UNet bottleneck (reference
+    shared_state.optimizeDeepLatent + pipeline:693-706): runs, refines, and
+    produces a different image than latent-space optimization."""
+    from guided_attention_tpu.config import HyperParams
+
+    hp_deep = HyperParams(optimize_deep_latent=True, thresholds={0: 0.5}, recurse_steps=1)
+    out_deep = pipe(meta_prompt="a [dog:.2,.3] x", seed=5, num_inference_steps=3, hp=hp_deep)
+    assert np.isfinite(out_deep.latents).all()
+    assert out_deep.diagnostics.refine_iters[0] > 0
+    hp_norm = HyperParams(thresholds={0: 0.5}, recurse_steps=1)
+    out_norm = pipe(meta_prompt="a [dog:.2,.3] x", seed=5, num_inference_steps=3, hp=hp_norm)
+    assert not np.array_equal(out_deep.latents, out_norm.latents)
