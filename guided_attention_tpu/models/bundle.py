@@ -59,13 +59,20 @@ class StableDiffusion:
 
         params = {"unet": unet_params, "text_encoder": clip_params, "vae": vae_params}
         if checkpoint_dir is not None:
-            from guided_attention_tpu.models.convert import load_component_params
+            from guided_attention_tpu.models.io import is_native_checkpoint, load_params
 
-            params = {
-                "unet": load_component_params(checkpoint_dir, "unet", unet_params),
-                "text_encoder": load_component_params(checkpoint_dir, "text_encoder", clip_params),
-                "vae": load_component_params(checkpoint_dir, "vae", vae_params),
-            }
+            if is_native_checkpoint(checkpoint_dir):
+                params = load_params(checkpoint_dir, params)
+            else:
+                from guided_attention_tpu.models.convert import load_component_params
+
+                params = {
+                    "unet": load_component_params(checkpoint_dir, "unet", unet_params),
+                    "text_encoder": load_component_params(
+                        checkpoint_dir, "text_encoder", clip_params
+                    ),
+                    "vae": load_component_params(checkpoint_dir, "vae", vae_params),
+                }
         return cls(cfg, unet, clip, vae, tokenizer, params)
 
     # --- prompt encoding (reference _encode_prompt, pipeline:64-199) ---

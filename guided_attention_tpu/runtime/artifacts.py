@@ -163,6 +163,7 @@ class ArtifactWriter:
         seed: int,
         hyper_suffix: str = "",
         interactive: bool = False,
+        async_writer=None,
     ):
         self.root = Path(output_path)
         self.clean = meta_prompt_clean(meta_prompt, interactive)
@@ -171,6 +172,11 @@ class ArtifactWriter:
         self.run_dir = self.root / self.clean
         self.step_dir = self.run_dir / str(seed)
         self.log = RunLog()
+        if async_writer is None:
+            from guided_attention_tpu.runtime.native import AsyncArtifactWriter
+
+            async_writer = AsyncArtifactWriter(2)
+        self.async_writer = async_writer
 
     def _state_name(self, step: int, subiter: int) -> str:
         # reference shared_state.get_name() tags (shared_state.py:39-51)
@@ -216,7 +222,8 @@ class ArtifactWriter:
                 fname = (
                     f"_attnmap_{word}_{self.clean}{self._state_name(i, subiter)}.png"
                 )
-                save_viridis(d.maps[i, :, :, tok], self.step_dir / fname)
+                self.async_writer.submit_map(d.maps[i, :, :, tok], self.step_dir / fname)
+        self.async_writer.flush()
 
     def write_x0_preds(self, out, decode_fn, steps: Sequence[int]) -> None:
         """Decode + save x0 predictions for selected steps (reference
