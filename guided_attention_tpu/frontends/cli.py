@@ -84,59 +84,88 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     base_hp = HyperParams()
     images = []
     image_path = None
-    for seed in config.seeds:
+
+    def run_kwargs(hp):
+        return dict(
+            num_inference_steps=config.n_inference_steps,
+            guidance_scale=config.guidance_scale,
+            max_iter_to_alter=config.max_iter_to_alter,
+            attention_res=config.attention_res,
+            run_standard_sd=config.run_standard_sd,
+            hp=hp,
+            scale_factor=config.scale_factor,
+            scale_range=config.scale_range,
+            smooth_attentions=config.smooth_attentions,
+            sigma=config.sigma,
+            kernel_size=config.kernel_size,
+            sd_2_1=config.sd_2_1,
+            only_update_on_threshold_steps=config.only_update_on_threshold_steps,
+            sub_prompt_avg_within=config.sub_prompt_avg_within,
+            skip_inert_guidance_passes=config.skip_inert_guidance_passes,
+            diagnostic_level=config.diagnostic_level,
+        )
+
+    # Gather (seed, hyperparam-state, output) work items. With batch_size > 1
+    # the per-state seed batch runs as ONE sharded program over the device
+    # mesh (the reference loops seeds serially, run.py:97-98).
+    work = []
+    if config.batch_size > 1:
         for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
             meta_prompt = hp.meta_prompt or config.meta_prompt
-            print(f"Seed: {seed}")
-            out = pipe(
-                meta_prompt=meta_prompt,
-                seed=seed,
-                num_inference_steps=config.n_inference_steps,
-                guidance_scale=config.guidance_scale,
-                max_iter_to_alter=config.max_iter_to_alter,
-                attention_res=config.attention_res,
-                run_standard_sd=config.run_standard_sd,
-                hp=hp,
-                scale_factor=config.scale_factor,
-                scale_range=config.scale_range,
-                smooth_attentions=config.smooth_attentions,
-                sigma=config.sigma,
-                kernel_size=config.kernel_size,
-                sd_2_1=config.sd_2_1,
-                only_update_on_threshold_steps=config.only_update_on_threshold_steps,
-                sub_prompt_avg_within=config.sub_prompt_avg_within,
-                skip_inert_guidance_passes=config.skip_inert_guidance_passes,
-                diagnostic_level=config.diagnostic_level,
-            )
-            hp_state = {
-                "strict": hp.strict,
-                "inside_loss_scale": hp.inside_loss_scale,
-                "outside_loss_scale": hp.outside_loss_scale,
-                "shrink_factor": hp.shrink_factor,
-                "thresholds": hp.thresholds,
-                "use_optimizer": hp.use_optimizer,
-                "recurse_until": hp.recurse_until,
-                "recurse_steps": hp.recurse_steps,
+            seeds = list(config.seeds)
+            for lo in range(0, len(seeds), config.batch_size):
+                chunk = seeds[lo : lo + config.batch_size]
+                print(f"Seeds (sharded batch): {chunk}")
+                outs = pipe.generate_batch(chunk, meta_prompt=meta_prompt, **run_kwargs(hp))
+                work.extend((s, hp, meta_prompt, o) for s, o in zip(chunk, outs))
+    else:
+        for seed in config.seeds:
+            for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
+                meta_prompt = hp.meta_prompt or config.meta_prompt
+                print(f"Seed: {seed}")
+                out = pipe(meta_prompt=meta_prompt, seed=seed, **run_kwargs(hp))
+                work.append((seed, hp, meta_prompt, out))
+
+    for seed, hp, meta_prompt, out in work:
+        hp_state = {
+            "strict": hp.strict,
+            "inside_loss_scale": hp.inside_loss_scale,
+            "outside_loss_scale": hp.outside_loss_scale,
+            "shrink_factor": hp.shrink_factor,
+            "thresholds": hp.thresholds,
+            "use_optimizer": hp.use_optimizer,
+            "recurse_until": hp.recurse_until,
+            "recurse_steps": hp.recurse_steps,
+        }
+        writer = ArtifactWriter(
+            config.output_path,
+            meta_prompt,
+            seed,
+            dict_to_string(hp_state),
+            interactive=config.interactive,
+        )
+        words = {tok: word for tok, word in out.spec.words}
+        if config.save_all_maps:
+            # dump a map PNG for every real prompt token (config.py:51)
+            ids = pipe.sd.tokenizer.encode(out.prompt)
+            words = {
+                i: pipe.sd.tokenizer.decode([t]) for i, t in enumerate(ids) if 0 < i < len(ids) - 1
             }
-            writer = ArtifactWriter(
-                config.output_path,
-                meta_prompt,
-                seed,
-                dict_to_string(hp_state),
-                interactive=config.interactive,
+        img, image_path = writer.write_final_image(out, out.annotations, config.annotate)
+        writer.write_run_log(out, words)
+        if config.diagnostic_level > 0:
+            save_latent_stats_figure(
+                out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
             )
-            words = {tok: word for tok, word in out.spec.words}
-            img, image_path = writer.write_final_image(out, out.annotations, config.annotate)
-            writer.write_run_log(out, words)
-            if config.diagnostic_level > 0:
-                save_latent_stats_figure(
-                    out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
-                )
-            writer.write_step_maps(out, words)
-            always_save = [0, 1, 2]  # pipeline:881
-            if config.diagnostic_level > 0 or always_save:
-                writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)
-            images.append(img)
+        writer.write_step_maps(out, words)
+        always_save = [0, 1, 2]  # pipeline:881
+        if config.diagnostic_level > 0 or always_save:
+            writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)
+        if config.save_individual_ca_maps:
+            from guided_attention_tpu.runtime.artifacts import save_individual_ca_maps
+
+            save_individual_ca_maps(pipe, out, step=12, heads_dir=writer.step_dir / "heads")
+        images.append(img)
 
     grid = image_grid(images)
     if not config.interactive:

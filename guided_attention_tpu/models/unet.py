@@ -110,7 +110,7 @@ class CrossAttention(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None, capture=False, pww_mask=None, pww_gate=None):
+    def __call__(self, x, context=None, capture=False, capture_perhead=False, pww_mask=None, pww_gate=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -122,6 +122,7 @@ class CrossAttention(nn.Module):
             v,
             self.heads,
             capture=capture,
+            capture_perhead=capture_perhead,
             pww_mask=pww_mask,
             pww_gate=pww_gate,
             use_flash=self.use_flash,
@@ -152,7 +153,7 @@ class BasicTransformerBlock(nn.Module):
     use_flash_cross: bool = False
 
     @nn.compact
-    def __call__(self, x, context, capture_self=False, capture_cross=False, pww_mask=None, pww_gate=None):
+    def __call__(self, x, context, capture_self=False, capture_cross=False, capture_cross_perhead=False, pww_mask=None, pww_gate=None):
         h, self_map = CrossAttention(
             self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_self, name="attn1"
         )(nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype), None, capture=capture_self)
@@ -163,6 +164,7 @@ class BasicTransformerBlock(nn.Module):
             nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype),
             context,
             capture=capture_cross,
+            capture_perhead=capture_cross_perhead,
             pww_mask=pww_mask,
             pww_gate=pww_gate,
         )
@@ -191,6 +193,7 @@ class Transformer2D(nn.Module):
         inner = self.heads * self.dim_head
         capture_self = ("self", res) in capture
         capture_cross = ("cross", res) in capture
+        capture_cross_ph = ("cross_perhead", res) in capture
         pww_mask = pww.get(res) if pww else None
 
         residual = x
@@ -209,7 +212,7 @@ class Transformer2D(nn.Module):
             self.use_flash_self,
             self.use_flash_cross,
             name="transformer_blocks_0",
-        )(h, context, capture_self, capture_cross, pww_mask, pww_gate)
+        )(h, context, capture_self, capture_cross, capture_cross_ph, pww_mask, pww_gate)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
             h = h.reshape(b, hgt, wdt, c)
@@ -258,14 +261,18 @@ class UNet2DCondition(nn.Module):
         cfg = self.config
         dtype = cfg.dtype
         maps: Dict[str, List[jax.Array]] = {
-            f"{place}_{kind}": [] for place in ("down", "mid", "up") for kind in ("cross", "self")
+            f"{place}_{kind}": []
+            for place in ("down", "mid", "up")
+            for kind in ("cross", "self", "cross_perhead")
         }
 
         def collect(place, self_map, cross_map):
             if self_map is not None:
                 maps[f"{place}_self"].append(self_map)
             if cross_map is not None:
-                maps[f"{place}_cross"].append(cross_map)
+                # per-head diagnostics come through un-pooled as [B, H, Q, K]
+                key = "cross_perhead" if cross_map.ndim == 4 else "cross"
+                maps[f"{place}_{key}"].append(cross_map)
 
         b = sample.shape[0]
         t = jnp.broadcast_to(jnp.asarray(timestep), (b,))

@@ -46,6 +46,7 @@ def attention(
     heads: int,
     *,
     capture: bool = False,
+    capture_perhead: bool = False,
     pww_mask: Optional[jax.Array] = None,
     pww_gate: Optional[jax.Array] = None,
     use_flash: bool = False,
@@ -55,6 +56,8 @@ def attention(
     Args:
       q: [B, Nq, C]; k, v: [B, Nk, C] (C = heads * head_dim).
       capture: also return the head-mean probability map [B, Nq, Nk] (fp32).
+      capture_perhead: return the un-pooled probs [B, H, Nq, Nk] instead
+        (diagnostics: per-head map dumps, reference pipeline:319-336).
       pww_mask: [Nq, Nk] paint-with-words additive mask (or None).
       pww_gate: scalar = step_gate * log(1 + sigma_t) (or None).
       use_flash: allow the Pallas flash kernel (self-attention fast path;
@@ -62,14 +65,15 @@ def attention(
         scores).
 
     Returns:
-      (out [B, Nq, C] in q.dtype, pooled_probs [B, Nq, Nk] fp32 or None)
+      (out [B, Nq, C] in q.dtype, probs map fp32 or None)
     """
+    capture = capture or capture_perhead
     dtype = q.dtype
     b, nq, c = q.shape
     head_dim = c // heads
     scale = 1.0 / (head_dim**0.5)
 
-    if use_flash and pww_mask is None:
+    if use_flash and pww_mask is None and not capture_perhead:
         # the self-attention kernel assumes tile-aligned KV (no key mask);
         # self-attn always satisfies it, short cross KV (77) falls through
         if not capture and k.shape[1] == nq:
@@ -103,7 +107,12 @@ def attention(
         scores = scores + bias
 
     probs = jax.nn.softmax(scores, axis=-1)
-    pooled = jnp.mean(probs, axis=1) if capture else None  # [B, Nq, Nk] fp32
+    if capture_perhead:
+        pooled = probs  # [B, H, Nq, Nk] fp32
+    elif capture:
+        pooled = jnp.mean(probs, axis=1)  # [B, Nq, Nk] fp32
+    else:
+        pooled = None
 
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(dtype), vh, preferred_element_type=jnp.float32

@@ -126,6 +126,8 @@ class StepDiag:
     latent_std: jnp.ndarray  # [C] (std of |latent|, helpers.py:323)
     latent_p99: jnp.ndarray  # [C] (99th pct of |latent|)
     x0_pred: jnp.ndarray  # [h, w, C]
+    latent_in: jnp.ndarray  # [h, w, C] — step-entry latents, enables post-hoc
+    # per-head map re-runs (runtime/artifacts.save_individual_ca_maps)
     maps: jnp.ndarray  # [R, R, K] final-eval smoothed maps (or zeros)
     eval_unscaled: jnp.ndarray  # [R_sub, K] per-slot per-token unscaled
     eval_mask: jnp.ndarray  # bool[R_sub]
@@ -452,6 +454,7 @@ def build_generate_raw(
                 latent_std=jnp.std(absl, axis=(0, 1, 2)),
                 latent_p99=jnp.quantile(absl.reshape(-1, C), 0.99, axis=0),
                 x0_pred=x0[0],
+                latent_in=latents[0].astype(jnp.float32),
                 maps=aux["maps"],
                 eval_unscaled=eval_buf,
                 eval_mask=eval_mask,

@@ -45,6 +45,7 @@ class GuidedAttentionPipeline:
         self.sd = sd
         self.registry = registry or default_registry()
         self._generate_cache: Dict[Any, Any] = {}
+        self._batch_cache: Dict[Any, Any] = {}
         self._encode = jax.jit(
             lambda p, ids: self.sd.text_encoder.apply({"params": p}, ids)
         )
@@ -63,44 +64,44 @@ class GuidedAttentionPipeline:
         )
         return self._encode(self.sd.params["text_encoder"], ids)
 
-    def _get_generate(self, statics: GenStatics, hp: HyperParams):
-        hp_key = tuple(
+    @staticmethod
+    def _hp_key(hp: HyperParams):
+        return tuple(
             tuple(sorted(v.items())) if isinstance(v, dict) else v
             for v in dataclasses.asdict(hp).values()
         )
-        key = (statics, hp_key)
+
+    def _get_generate(self, statics: GenStatics, hp: HyperParams):
+        key = (statics, self._hp_key(hp))
         if key not in self._generate_cache:
             self._generate_cache[key] = build_generate(self.sd, statics, hp)
         return self._generate_cache[key]
 
     # ------------------------------------------------------------------
-    def __call__(
+    def _prepare(
         self,
-        meta_prompt: Optional[str] = None,
-        prompt: Optional[str] = None,
-        annotations: Optional[List[Annotation]] = None,
-        hp: Optional[HyperParams] = None,
-        seed: int = 42,
-        num_inference_steps: int = 50,
-        guidance_scale: float = 7.5,
-        max_iter_to_alter: int = 25,
-        attention_res: int = 16,
-        run_standard_sd: bool = False,
-        thresholds: Optional[Dict[int, float]] = None,
-        scale_factor: float = 20.0,
-        scale_range: Tuple[float, float] = (1.0, 0.5),
-        smooth_attentions: bool = True,
-        sigma: float = 0.5,
-        kernel_size: int = 3,
-        sd_2_1: bool = False,
-        only_update_on_threshold_steps: bool = True,
-        sub_prompt_avg_within: bool = False,
-        skip_inert_guidance_passes: bool = True,
-        diagnostic_level: int = 0,
-        negative_prompt: str = "",
-        latents: Optional[jnp.ndarray] = None,
-        decode: bool = True,
-    ) -> PipelineOutput:
+        meta_prompt,
+        prompt,
+        annotations,
+        hp,
+        num_inference_steps,
+        guidance_scale,
+        max_iter_to_alter,
+        attention_res,
+        run_standard_sd,
+        thresholds,
+        scale_factor,
+        scale_range,
+        smooth_attentions,
+        sigma,
+        kernel_size,
+        sd_2_1,
+        only_update_on_threshold_steps,
+        sub_prompt_avg_within,
+        skip_inert_guidance_passes,
+        diagnostic_level,
+        negative_prompt,
+    ):
         hp = hp or HyperParams()
         if thresholds is not None:
             hp = hp.replace(thresholds=thresholds)
@@ -144,15 +145,54 @@ class GuidedAttentionPipeline:
         sched = make_ddim_schedule(num_inference_steps)
         arrays = make_step_arrays(statics, hp, sched, scale_factor, scale_range)
         emb = self.encode_prompt(prompt, negative_prompt)
+        return hp, prompt, annotations, spec, statics, sched, arrays, emb
 
+    def _init_latents(self, key):
         cfg = self.sd.config
         s = cfg.latent_size
+        return jax.random.normal(key, (1, s, s, cfg.unet.in_channels), jnp.float32).astype(
+            cfg.unet.dtype
+        )
+
+    def __call__(
+        self,
+        meta_prompt: Optional[str] = None,
+        prompt: Optional[str] = None,
+        annotations: Optional[List[Annotation]] = None,
+        hp: Optional[HyperParams] = None,
+        seed: int = 42,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        max_iter_to_alter: int = 25,
+        attention_res: int = 16,
+        run_standard_sd: bool = False,
+        thresholds: Optional[Dict[int, float]] = None,
+        scale_factor: float = 20.0,
+        scale_range: Tuple[float, float] = (1.0, 0.5),
+        smooth_attentions: bool = True,
+        sigma: float = 0.5,
+        kernel_size: int = 3,
+        sd_2_1: bool = False,
+        only_update_on_threshold_steps: bool = True,
+        sub_prompt_avg_within: bool = False,
+        skip_inert_guidance_passes: bool = True,
+        diagnostic_level: int = 0,
+        negative_prompt: str = "",
+        latents: Optional[jnp.ndarray] = None,
+        decode: bool = True,
+    ) -> PipelineOutput:
+        hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
+            meta_prompt, prompt, annotations, hp, num_inference_steps, guidance_scale,
+            max_iter_to_alter, attention_res, run_standard_sd, thresholds, scale_factor,
+            scale_range, smooth_attentions, sigma, kernel_size, sd_2_1,
+            only_update_on_threshold_steps, sub_prompt_avg_within,
+            skip_inert_guidance_passes, diagnostic_level, negative_prompt,
+        )
+
         key = jax.random.PRNGKey(seed)
         key_init, key_run = jax.random.split(key)
         if latents is None:
-            latents = jax.random.normal(
-                key_init, (1, s, s, cfg.unet.in_channels), jnp.float32
-            ).astype(cfg.unet.dtype)
+            latents = self._init_latents(key_init)
 
         generate = self._get_generate(statics, hp)
         final_latents, diags = generate(
@@ -171,6 +211,91 @@ class GuidedAttentionPipeline:
             prompt=prompt,
             annotations=annotations,
         )
+
+    def generate_batch(
+        self,
+        seeds: List[int],
+        meta_prompt: Optional[str] = None,
+        mesh=None,
+        decode: bool = True,
+        **kwargs,
+    ) -> List[PipelineOutput]:
+        """Generate one image per seed as ONE sharded program over the mesh
+        (the reference loops seeds serially on one GPU, run.py:97-98;
+        BASELINE config 5: '8 seeds/batch multi-prompt generation').
+
+        The batch axis shards over the mesh's "data" axis; UNet params
+        follow the TP rules when the mesh has a "tensor" axis.
+
+        Note: results are deterministic per path but not bitwise identical
+        to the single-sample path — vmap/TP change op fusion order, and
+        guided trajectories amplify those float-level differences through
+        the threshold branches. Standard-SD outputs agree to ~1e-5.
+        """
+        from guided_attention_tpu.parallel.batch import build_batch_generate
+        from guided_attention_tpu.parallel.mesh import make_mesh
+
+        hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
+            meta_prompt,
+            kwargs.pop("prompt", None),
+            kwargs.pop("annotations", None),
+            kwargs.pop("hp", None),
+            kwargs.pop("num_inference_steps", 50),
+            kwargs.pop("guidance_scale", 7.5),
+            kwargs.pop("max_iter_to_alter", 25),
+            kwargs.pop("attention_res", 16),
+            kwargs.pop("run_standard_sd", False),
+            kwargs.pop("thresholds", None),
+            kwargs.pop("scale_factor", 20.0),
+            kwargs.pop("scale_range", (1.0, 0.5)),
+            kwargs.pop("smooth_attentions", True),
+            kwargs.pop("sigma", 0.5),
+            kwargs.pop("kernel_size", 3),
+            kwargs.pop("sd_2_1", False),
+            kwargs.pop("only_update_on_threshold_steps", True),
+            kwargs.pop("sub_prompt_avg_within", False),
+            kwargs.pop("skip_inert_guidance_passes", True),
+            kwargs.pop("diagnostic_level", 0),
+            kwargs.pop("negative_prompt", ""),
+        )
+        if kwargs:
+            raise TypeError(f"unknown generate_batch kwargs: {sorted(kwargs)}")
+
+        if mesh is None:
+            # size the data axis to the largest device count dividing the batch
+            n_dev = len(jax.devices())
+            data = max(d for d in range(1, min(n_dev, len(seeds)) + 1) if len(seeds) % d == 0)
+            mesh = make_mesh({"data": data})
+        keys = [jax.random.split(jax.random.PRNGKey(s)) for s in seeds]
+        latents0 = jnp.stack([self._init_latents(k[0]) for k in keys])
+        run_keys = jnp.stack([k[1] for k in keys])
+
+        hp_key = self._hp_key(hp)
+        cache_key = (statics, hp_key, tuple(mesh.shape.items()))
+        if cache_key not in self._batch_cache:
+            self._batch_cache[cache_key] = build_batch_generate(self.sd, statics, hp, mesh)
+        gen = self._batch_cache[cache_key]
+        with mesh:
+            final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
+            final = np.asarray(final)
+            diags = jax.tree_util.tree_map(np.asarray, diags)
+
+        outputs = []
+        for b, seed in enumerate(seeds):
+            images = None
+            if decode:
+                images = np.asarray(self.sd.decode_latents(jnp.asarray(final[b])))
+            outputs.append(
+                PipelineOutput(
+                    images=images,
+                    latents=final[b],
+                    diagnostics=jax.tree_util.tree_map(lambda x: x[b], diags),
+                    spec=spec,
+                    prompt=prompt,
+                    annotations=annotations,
+                )
+            )
+        return outputs
 
 
 def pipeline_from_config(config: RunConfig, registry=None) -> GuidedAttentionPipeline:

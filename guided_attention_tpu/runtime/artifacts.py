@@ -253,3 +253,87 @@ class ArtifactWriter:
             path = self.run_dir / f"{self.seed}.png"
             img.save(path)
         return img, path
+
+
+def save_individual_ca_maps(pipe, out, step: int = 12, heads_dir: Optional[Path] = None):
+    """Per-head, per-resolution cross-attention map dump for one step
+    (reference pipeline_guided_attention.py:319-346, save_maps_at=12).
+
+    Re-runs a single cond-only forward at that step's entry latents with
+    per-head capture — the scan itself never pays for this.
+    """
+    import jax.numpy as jnp
+
+    from guided_attention_tpu.models.unet import UNet2DCondition  # noqa: F401
+    from guided_attention_tpu.runtime.native import AsyncArtifactWriter
+
+    d = out.diagnostics
+    step = min(step, d.latent_in.shape[0] - 1)
+    lat = jnp.asarray(d.latent_in[step])[None]
+    emb = pipe.encode_prompt(out.prompt)
+    from guided_attention_tpu.schedulers.ddim import make_ddim_schedule
+
+    sched = make_ddim_schedule(d.latent_in.shape[0])
+    t = sched.timesteps[step]
+    resolutions = sorted({lat.shape[1] // f for f in (1, 2, 4, 8)})
+    cap = frozenset({("cross_perhead", r) for r in resolutions})
+    _eps, aux = pipe.sd.unet.apply(
+        {"params": pipe.sd.params["unet"]}, lat.astype(pipe.sd.config.unet.dtype), t, emb[1:2], capture=cap
+    )
+    writer = AsyncArtifactWriter(2)
+    heads_dir = Path(heads_dir) if heads_dir else Path("individual_maps")
+    agg = []
+    for location in ("up", "down", "mid"):
+        for map_iter, m in enumerate(aux["maps"][f"{location}_cross_perhead"], start=1):
+            probs = np.asarray(m[0], np.float32)  # [H, Q, K]
+            H, Q, K = probs.shape
+            res = int(np.sqrt(Q))
+            grids = probs.reshape(H, res, res, K)
+            for h in range(H):
+                m1 = grids[h, :, :, 1]
+                tag = (
+                    f"{location}_res_{res}_head_{h}_mapiter_{map_iter}"
+                    f"_avg_{m1.mean():.3}_max_{m1.max():.3}"
+                )
+                writer.submit_map(m1, heads_dir / f"{tag}.png")
+            writer.submit_map(
+                grids.mean(0)[:, :, 1], heads_dir / f"{location}_res_{res}_avgheads_mapiter_{map_iter}.png"
+            )
+            if res == pipe.sd.config.unet.sample_size // 4:
+                agg.append(grids.mean(0))
+    if agg:
+        final = np.stack(agg).mean(0)
+        writer.submit_map(final[:, :, 1], heads_dir / "final.png")
+    writer.flush()
+    writer.close()
+    return heads_dir
+
+
+def save_self_attention_npy(pipe, out, step: int = -1, path=None, res: int = 16):
+    """Aggregate self-attention at ``res`` for one step and save as .npy
+    (reference pipeline:309-317 save_numpy('self_attn')); the output feeds
+    viewers/self_attn_clusters.
+    """
+    import jax.numpy as jnp
+
+    from guided_attention_tpu.schedulers.ddim import make_ddim_schedule
+
+    d = out.diagnostics
+    S = d.latent_in.shape[0]
+    step = step % S
+    lat = jnp.asarray(d.latent_in[step])[None]
+    emb = pipe.encode_prompt(out.prompt)
+    sched = make_ddim_schedule(S)
+    t = sched.timesteps[step]
+    cap = frozenset({("self", res)})
+    _eps, aux = pipe.sd.unet.apply(
+        {"params": pipe.sd.params["unet"]}, lat.astype(pipe.sd.config.unet.dtype), t, emb[1:2], capture=cap
+    )
+    items = []
+    for location in ("up", "down", "mid"):
+        items.extend(aux["maps"][f"{location}_self"])
+    agg = np.stack([np.asarray(m[0], np.float32) for m in items]).mean(0)  # [Q, Q]
+    path = Path(path) if path else Path(f"self_attn_step{step}.npy")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.save(path, agg.reshape(res, res, res * res))
+    return path
