@@ -103,3 +103,43 @@ def test_deep_latent_optimization_mode(pipe):
     hp_norm = HyperParams(thresholds={0: 0.5}, recurse_steps=1)
     out_norm = pipe(meta_prompt="a [dog:.2,.3] x", seed=5, num_inference_steps=3, hp=hp_norm)
     assert not np.array_equal(out_deep.latents, out_norm.latents)
+
+
+def test_paint_with_words_changes_output(pipe):
+    """paint_with_words biases cross-attn scores for steps < stop
+    (reference ptp_utils.py:97-146)."""
+    from guided_attention_tpu.config import HyperParams
+
+    hp_off = HyperParams(thresholds={0: 0.5}, recurse_steps=1)
+    hp_on = hp_off.replace(paint_with_words_stop=2, paint_with_words_weight=1.0)
+    meta = "a [robot:.6,.3,.4,.55] x"
+    out_off = pipe(meta_prompt=meta, seed=4, num_inference_steps=3, hp=hp_off)
+    out_on = pipe(meta_prompt=meta, seed=4, num_inference_steps=3, hp=hp_on)
+    assert np.isfinite(out_on.latents).all()
+    assert not np.array_equal(out_on.latents, out_off.latents)
+    # spec carries pww masks only when enabled
+    assert out_on.spec.pww_masks and not out_off.spec.pww_masks
+
+
+def test_use_optimizer_refinement(pipe):
+    """SGD+momentum refinement variant (reference pipeline:495-497)."""
+    from guided_attention_tpu.config import HyperParams
+
+    hp = HyperParams(thresholds={0: 0.3}, recurse_steps=1, use_optimizer=True)
+    out = pipe(meta_prompt="a [dog:.2,.3] x", seed=6, num_inference_steps=2, hp=hp)
+    assert out.diagnostics.refine_iters[0] > 0
+    assert np.isfinite(out.latents).all()
+
+
+def test_custom_loss_through_pipeline(pipe):
+    """[CustomLoss:toLeftOf ...] contributes a group and drives refinement."""
+    out = pipe(
+        meta_prompt="a cat and a vase [CustomLoss:toLeftOf (cat,vase)]",
+        seed=7,
+        num_inference_steps=2,
+        thresholds={0: 1e-6},  # force refinement attempt on the custom group
+    )
+    assert out.spec.custom_group >= 0
+    d = out.diagnostics
+    assert d.eval_mask[0].sum() >= 1
+    assert np.isfinite(out.latents).all()
