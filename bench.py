@@ -56,8 +56,9 @@ def main():
     out = run(28)
     warm_s = time.time() - t0
 
+    # min over repetitions: the remote-tunnel host adds multi-second jitter
     times = []
-    for i, seed in enumerate((28, 42)):
+    for i, seed in enumerate((28, 42, 7)):
         t0 = time.time()
         out = run(seed)
         times.append(time.time() - t0)

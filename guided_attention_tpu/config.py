@@ -131,6 +131,10 @@ class RunConfig:
     mesh_shape: Optional[Dict[str, int]] = None
     # dtype for compute: "bfloat16" or "float32"
     dtype: str = "bfloat16"
+    # Hyperparameter sweep grid: list of HyperParams field overrides applied
+    # per inner loop (reference shared_state.hyperParameterIterations,
+    # utils/shared_state.py:22). None => single default state.
+    hyperparam_iterations: Optional[List[Dict[str, Any]]] = None
 
     # Filled in by the frontends after parsing
     prompt: Optional[str] = None

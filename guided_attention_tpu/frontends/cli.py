@@ -47,7 +47,7 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             parser.add_argument(arg, type=float, default=default)
         elif f.name == "seeds":
             parser.add_argument(arg, type=int, nargs="+", default=default)
-        elif f.name in ("thresholds", "mesh_shape"):
+        elif f.name in ("thresholds", "mesh_shape", "hyperparam_iterations"):
             parser.add_argument(arg, type=json.loads, default=default)
         elif f.name == "scale_range":
             parser.add_argument(arg, type=float, nargs=2, default=default)
@@ -66,7 +66,10 @@ def parse_args(argv: Optional[List[str]] = None) -> RunConfig:
         kwargs["output_path"] = Path(kwargs["output_path"])
     if isinstance(kwargs.get("scale_range"), list):
         kwargs["scale_range"] = tuple(kwargs["scale_range"])
-    return RunConfig(**kwargs)
+    config = RunConfig(**kwargs)
+    argv_list = argv if argv is not None else list(__import__("sys").argv[1:])
+    config._thresholds_explicit = "--thresholds" in argv_list
+    return config
 
 
 def setup(config: RunConfig):
@@ -77,11 +80,35 @@ def setup(config: RunConfig):
     return pipe
 
 
+def get_indices_to_alter(pipe, prompt: str) -> List[int]:
+    """Interactive token-index picker (reference run.py:32-41)."""
+    import pprint
+
+    ids = pipe.sd.tokenizer.encode(prompt)
+    token_idx_to_word = {
+        idx: pipe.sd.tokenizer.decode([t]) for idx, t in enumerate(ids) if 0 < idx < len(ids) - 1
+    }
+    pprint.pprint(token_idx_to_word)
+    token_indices = input(
+        "Please enter the a comma-separated list indices of the tokens you wish to alter (e.g., 2,5): "
+    )
+    token_indices = [int(i) for i in token_indices.split(",")]
+    print(f"Altering tokens: {[token_idx_to_word[i] for i in token_indices]}")
+    return token_indices
+
+
 def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[str, Any]]] = None):
     """Seeds x hyperparameter sweep with artifact output
     (reference run.py:93-135)."""
     config.ensure_output_dir()
+    if hyperparam_iterations is None:
+        hyperparam_iterations = config.hyperparam_iterations
+    # Precedence parity (reference run.py:75-79 + shared_state.py:21): the
+    # sweep base state's thresholds ({0: 1.0}) override RunConfig's default
+    # thresholds; an explicitly provided --thresholds replaces the base.
     base_hp = HyperParams()
+    if getattr(config, "_thresholds_explicit", False):
+        base_hp = base_hp.replace(thresholds=dict(config.thresholds))
     images = []
     image_path = None
 

@@ -24,7 +24,14 @@ from guided_attention_tpu.guidance.spec import find_token_span
 
 
 class CustomLossBase(abc.ABC):
-    """Base class for user-registered guidance losses (reference run.py:148-173)."""
+    """Base class for user-registered guidance losses (reference run.py:148-173).
+
+    Loss objects live in a GuidanceSpec *static* field, so jit's cache
+    compares them by __eq__/__hash__ — which here reflect ``static_state()``
+    (everything bind() bakes into the trace). Without this, re-binding the
+    shared registry instance for a new prompt would silently reuse the
+    previous prompt's traced token indices.
+    """
 
     @abc.abstractmethod
     def calc_loss(self, cross_attention_maps, spec, text_args: str):
@@ -36,6 +43,16 @@ class CustomLossBase(abc.ABC):
 
     def bind(self, tokenizer, prompt: str, text_args: str) -> None:
         """Host-side hook: resolve token indices etc. before tracing."""
+
+    def static_state(self) -> tuple:
+        """Everything bind() bakes into the traced graph; part of the jit key."""
+        return ()
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.static_state() == other.static_state()
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.static_state()))
 
     # --- convenience helpers (reference run.py:158-173) ---
     def parse_text_args(self, text_args: str):
@@ -84,6 +101,9 @@ class ToLeftOf(CustomLossBase):
         left_sub, right_sub = self.subprompts_of_interest(text_args)
         self._left = tuple(self.find_indices_for_sub_prompt(tokenizer, prompt, left_sub) or ())
         self._right = tuple(self.find_indices_for_sub_prompt(tokenizer, prompt, right_sub) or ())
+
+    def static_state(self) -> tuple:
+        return (self._left, self._right)
 
     def calc_loss(self, maps, spec, text_args: str):
         if not self._left or not self._right:

@@ -32,7 +32,6 @@ class GuidanceSpec:
 
     token_mask: jnp.ndarray  # bool[K]  — tokens bound to an annotation
     ann_type: jnp.ndarray  # int32[K] — AnnotationType or ANN_NONE
-    target_xy: jnp.ndarray  # f32[K,2] — COOR target (fractions)
     center_xy: jnp.ndarray  # f32[K,2] — centering target (COOR xy / BOX center)
     subprompt_id: jnp.ndarray  # int32[K] — group id, -1 if unbound
     valid_text: jnp.ndarray  # bool[K]  — tokens kept by the re-softmax slice
@@ -141,7 +140,6 @@ def build_guidance_spec(
 
     token_mask = np.zeros(K, dtype=bool)
     ann_type = np.full(K, ANN_NONE, dtype=np.int32)
-    target_xy = np.zeros((K, 2), dtype=np.float32)
     center_xy = np.zeros((K, 2), dtype=np.float32)
     subprompt_id = np.full(K, -1, dtype=np.int32)
     inside_mask = np.zeros((K, R, R), dtype=np.float32)
@@ -168,12 +166,10 @@ def build_guidance_spec(
             subprompt_id[idx] = gid
             words.append((idx, tokenizer.decode([full_ids[idx]])))
             if ann.kind == AnnotationType.COOR:
-                target_xy[idx] = np.asarray(ann.target, dtype=np.float32)
                 center_xy[idx] = np.asarray(ann.target, dtype=np.float32)
             elif ann.kind == AnnotationType.BOX:
                 rect: Rect = ann.target
                 center_xy[idx] = np.asarray(rect.center(), dtype=np.float32)
-                target_xy[idx] = np.asarray((rect.x, rect.y), dtype=np.float32)
                 m, wi, wo, am = _box_weight_maps(rect, R, hp.shrink_factor)
                 inside_mask[idx] = m
                 w_in[idx] = wi
@@ -215,7 +211,6 @@ def build_guidance_spec(
     return GuidanceSpec(
         token_mask=jnp.asarray(token_mask),
         ann_type=jnp.asarray(ann_type),
-        target_xy=jnp.asarray(target_xy),
         center_xy=jnp.asarray(center_xy),
         subprompt_id=jnp.asarray(subprompt_id),
         valid_text=jnp.asarray(valid_text),

@@ -188,8 +188,10 @@ def flash_attention(
 
 
 def _cross_fwd_kernel(q_ref, k_ref, v_ref, o_ref, map_ref, *, scale, kv_len, heads):
-    # grid: (B, H, NQ). q: [1, BLKQ, D]; k, v: [1, KPAD, D]
-    h = pl.program_id(1)
+    # grid: (B, NQ, H) — heads iterate INNERMOST so the map output block
+    # (bb, i) is revisited consecutively while the head accumulation runs
+    # (non-consecutive output-block revisits are not supported on TPU).
+    h = pl.program_id(2)
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -216,7 +218,7 @@ def _cross_fwd_kernel(q_ref, k_ref, v_ref, o_ref, map_ref, *, scale, kv_len, hea
 def _cross_attention_fwd_impl(q, k, v, scale: float, kv_len: int, block_q: int):
     b, h, nq, d = q.shape
     kpad = k.shape[2]
-    grid = (b, h, _cdiv(nq, block_q))
+    grid = (b, _cdiv(nq, block_q), h)
     out, pooled = pl.pallas_call(
         functools.partial(_cross_fwd_kernel, scale=scale, kv_len=kv_len, heads=float(h)),
         out_shape=(
@@ -225,13 +227,13 @@ def _cross_attention_fwd_impl(q, k, v, scale: float, kv_len: int, block_q: int):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kpad, d), lambda bb, hh, i: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kpad, d), lambda bb, hh, i: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, i, hh: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kpad, d), lambda bb, i, hh: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kpad, d), lambda bb, i, hh: (bb, hh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, i: (bb, hh, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, kpad), lambda bb, hh, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, i, hh: (bb, hh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kpad), lambda bb, i, hh: (bb, i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=INTERPRET,
     )(q, k, v)

@@ -62,11 +62,8 @@ class GenStatics:
     sub_prompt_avg_within: bool = False
     only_update_on_threshold_steps: bool = True
     max_iter_to_alter: int = 25
-    diagnostic_level: int = 0
     last_threshold: float = 1.0  # meets_threshold(-1, ...) value (pipeline:1083)
     capture_step_maps: bool = True  # return final-eval maps per step
-    capture_eval_losses: bool = True  # per-refinement-slot losses (log parity)
-    normalize_eot: bool = False  # SD2.1 (pipeline:967)
 
 
 @struct.dataclass
@@ -316,9 +313,13 @@ def build_generate_raw(
             )
 
             # gradient update gate (pipeline:998-1007); meets_threshold(-1,...)
-            # uses the LAST threshold value (pipeline:1083)
+            # uses the LAST threshold value (pipeline:1083) and — reference
+            # parity — the STALE pre-refinement unscaled losses (the
+            # reference's `unscaled_losses` at :999 is not reassigned by the
+            # refinement call at :981), while the update itself uses the
+            # post-refinement gradient.
             gate_step = arrays.update_gate[i]
-            not_met_last = ~meets_threshold(aux1["gu"], aux1["valid"], statics.last_threshold)
+            not_met_last = ~meets_threshold(aux0["gu"], aux0["valid"], statics.last_threshold)
             apply = jnp.logical_and(gate_step, not_met_last)
             var2 = jnp.where(
                 jnp.logical_and(apply, loss1 != 0.0),

@@ -137,9 +137,7 @@ class GuidedAttentionPipeline:
             sub_prompt_avg_within=sub_prompt_avg_within,
             only_update_on_threshold_steps=only_update_on_threshold_steps,
             max_iter_to_alter=max_iter_to_alter,
-            diagnostic_level=diagnostic_level,
             last_threshold=float(thr_values[-1]) if thr_values else float("inf"),
-            normalize_eot=sd_2_1,
         )
 
         sched = make_ddim_schedule(num_inference_steps)
@@ -193,6 +191,10 @@ class GuidedAttentionPipeline:
         key_init, key_run = jax.random.split(key)
         if latents is None:
             latents = self._init_latents(key_init)
+        else:
+            # generate() donates its latents argument; never invalidate a
+            # user-supplied buffer
+            latents = jnp.array(latents, copy=True)
 
         generate = self._get_generate(statics, hp)
         final_latents, diags = generate(

@@ -233,3 +233,40 @@ def test_grad_through_loss_is_finite():
     for _ in range(20):
         z = z - 20.0 * jax.grad(loss_fn)(z)
     assert float(loss_fn(z)) < l0
+
+
+def test_custom_loss_rebind_changes_jit_key():
+    """Regression: re-binding the shared registry loss object for a new
+    prompt must change the spec's static identity so jit retraces (the
+    bound token indices are baked into the traced graph)."""
+    import jax
+    from guided_attention_tpu.guidance.custom import default_registry
+
+    reg = default_registry()
+    p1, i1, c1 = parse_prompt("a cat and a vase [CustomLoss:toLeftOf (cat,vase)]", reg.as_dict())
+    spec1 = build_guidance_spec(TOK, p1, i1, HP, c1)
+    state1 = spec1.custom_losses[0][1].static_state()
+    p2, i2, c2 = parse_prompt("a vase and a cat [CustomLoss:toLeftOf (cat,vase)]", reg.as_dict())
+    spec2 = build_guidance_spec(TOK, p2, i2, HP, c2)
+    state2 = spec2.custom_losses[0][1].static_state()
+    assert state1 != state2  # indices moved
+
+    # the traced fn must see fresh indices: trace twice via jit and compare
+    calls = []
+
+    def f(maps, spec):
+        calls.append(1)
+        stats = compute_token_stats(maps, spec, HP)
+        return stats.custom_loss
+
+    jf = jax.jit(f, static_argnums=())
+    maps = jnp.asarray(np.full((16, 16, 77), 1e-4, np.float32))
+    # rebuild spec1's binding (registry object currently holds spec2's state)
+    p1b, i1b, c1b = parse_prompt("a cat and a vase [CustomLoss:toLeftOf (cat,vase)]", reg.as_dict())
+    spec1b = build_guidance_spec(TOK, p1b, i1b, HP, c1b)
+    _ = jf(maps, spec1b)
+    n1 = len(calls)
+    p2b, i2b, c2b = parse_prompt("a vase and a cat [CustomLoss:toLeftOf (cat,vase)]", reg.as_dict())
+    spec2b = build_guidance_spec(TOK, p2b, i2b, HP, c2b)
+    _ = jf(maps, spec2b)
+    assert len(calls) == n1 + 1, "jit must retrace when bound indices change"
