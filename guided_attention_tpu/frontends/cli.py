@@ -192,6 +192,10 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             from guided_attention_tpu.runtime.artifacts import save_individual_ca_maps
 
             save_individual_ca_maps(pipe, out, step=12, heads_dir=writer.step_dir / "heads")
+        if config.diagnostic_level > 0:
+            from guided_attention_tpu.runtime.artifacts import save_diagnostic_preds
+
+            save_diagnostic_preds(pipe, out, writer, config.diagnostic_level)
         images.append(img)
 
     grid = image_grid(images)

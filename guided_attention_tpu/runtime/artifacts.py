@@ -337,3 +337,39 @@ def save_self_attention_npy(pipe, out, step: int = -1, path=None, res: int = 16)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.save(path, agg.reshape(res, res, res * res))
     return path
+
+
+def save_diagnostic_preds(pipe, out, writer: "ArtifactWriter", diagnostic_level: int = 1):
+    """Diagnostic-level image snapshots (reference pipeline:937-957,
+    1034-1037): 'pred_pre_optim' x0 estimates from the step-entry latents
+    for every step that evaluated guidance (diag >= 1), and 'xt' latent
+    decodes (diag >= 2). Computed post-hoc from StepDiag.latent_in — the
+    reference burns extra in-loop UNet passes for these."""
+    import jax.numpy as jnp
+
+    from guided_attention_tpu.schedulers.ddim import ddim_step, make_ddim_schedule
+
+    if diagnostic_level < 1:
+        return
+    d = out.diagnostics
+    S = d.latent_in.shape[0]
+    sched = make_ddim_schedule(S)
+    emb = pipe.encode_prompt(out.prompt)
+    dtype = pipe.sd.config.unet.dtype
+    for i in range(S):
+        if not d.eval_mask[i].any():
+            continue
+        lat = jnp.asarray(d.latent_in[i])[None].astype(dtype)
+        pair = jnp.concatenate([lat, lat], axis=0)
+        eps, _ = pipe.sd.unet.apply({"params": pipe.sd.params["unet"]}, pair, sched.timesteps[i], emb)
+        eps_u, eps_c = eps[0:1], eps[1:2]
+        noise = eps_u + 7.5 * (eps_c - eps_u)  # reference hardcodes 7.5 (pipeline:533)
+        _prev, x0 = ddim_step(sched, i, noise.astype(jnp.float32), lat.astype(jnp.float32))
+        img = np.asarray(pipe.sd.decode_latents(x0.astype(dtype)))[0]
+        fname = (writer.clean + writer._state_name(i, 0) + "_pred_pre_optim").replace(".", "_") + ".png"
+        writer.async_writer.submit_image(img, writer.step_dir / fname)
+        if diagnostic_level > 1:
+            img_xt = np.asarray(pipe.sd.decode_latents(lat))[0]
+            fname = (writer.clean + writer._state_name(i, 0) + "_xt").replace(".", "_") + ".png"
+            writer.async_writer.submit_image(img_xt, writer.step_dir / fname)
+    writer.async_writer.flush()
