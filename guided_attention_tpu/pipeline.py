@@ -259,57 +259,93 @@ def build_generate_raw(
             else:
                 var = latents
 
-            (loss0, aux0), grad0 = guidance_eval(latents, t, gate, var)
-            eval_buf = eval_buf.at[0].set(aux0["unscaled_tok"])
-            eval_mask = eval_mask.at[0].set(True)
+            # One while_loop hosts BOTH the initial evaluation (iteration 0,
+            # no update — reference pipeline:961-973) and the refinement
+            # bodies (iterations 1..max, eval-then-update — pipeline:501-553).
+            # This keeps a single UNet fwd+bwd instance in the compiled step
+            # body instead of two; eval0's results are carried so the
+            # no-refinement path reuses them without another forward.
+            def zero_grad():
+                return jnp.zeros_like(var)
 
-            needs_refine = ~meets_threshold(aux0["gu"], aux0["valid"], thresh_i)
-
-            def do_refine(op):
-                var0, gu0, buf0, mask0 = op
-                vel0 = jnp.zeros_like(var0)
-
-                def cond_fn(c):
-                    it, v, gu, buf, mask, vel = c
-                    return jnp.logical_and(
-                        ~meets_threshold(gu, aux0["valid"], thresh_i),
-                        it < statics.max_refinement_steps,
-                    )
-
-                def body_fn(c):
-                    it, v, gu, buf, mask, vel = c
-                    (loss, aux), grad = guidance_eval(latents, t, gate, v)
-                    if hp.use_optimizer:
-                        # SGD + momentum, lr = step/2.5 (pipeline:495-497)
-                        vel = (0.8 * vel + grad).astype(v.dtype)
-                        v2 = (v - (lr / 2.5) * vel).astype(v.dtype)
-                    else:
-                        v2 = jnp.where(loss != 0.0, (v - lr * grad).astype(v.dtype), v)
-                    buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], it + 1, 0)
-                    mask = jax.lax.dynamic_update_index_in_dim(
-                        mask, jnp.asarray(True), it + 1, 0
-                    )
-                    return (it + 1, v2, aux["gu"], buf, mask, vel)
-
-                it_f, var_f, _gu, buf_f, mask_f, _vel = jax.lax.while_loop(
-                    cond_fn, body_fn, (0, var0, gu0, buf0, mask0, vel0)
+            def loop_cond(c):
+                it, v, gu, needs, l0, g0, a0, buf, mask, vel = c
+                return jnp.logical_or(
+                    it == 0,
+                    jnp.logical_and(
+                        jnp.logical_and(needs, ~meets_threshold(gu, a0["valid"], thresh_i)),
+                        it <= statics.max_refinement_steps,
+                    ),
                 )
-                # final fresh forward, no update (pipeline:564-578)
-                (loss_f, aux_f), grad_f = guidance_eval(latents, t, gate, var_f)
-                buf_f = jax.lax.dynamic_update_index_in_dim(
-                    buf_f, aux_f["unscaled_tok"], R_sub - 1, 0
-                )
-                mask_f = jax.lax.dynamic_update_index_in_dim(
-                    mask_f, jnp.asarray(True), R_sub - 1, 0
-                )
-                return var_f, loss_f, aux_f, grad_f, it_f, buf_f, mask_f
 
-            def no_refine(op):
-                var0, gu0, buf0, mask0 = op
-                return var0, loss0, aux0, grad0, jnp.int32(0), buf0, mask0
+            def loop_body(c):
+                it, v, gu, needs, l0, g0, a0, buf, mask, vel = c
+                (loss, aux), grad = guidance_eval(latents, t, gate, v)
+                first = it == 0
+                needs2 = jnp.where(
+                    first, ~meets_threshold(aux["gu"], aux["valid"], thresh_i), needs
+                )
+                if hp.use_optimizer:
+                    # SGD + momentum, lr = step/2.5 (pipeline:495-497)
+                    vel2 = jnp.where(first, vel, (0.8 * vel + grad).astype(v.dtype))
+                    v_upd = (v - (lr / 2.5) * vel2).astype(v.dtype)
+                else:
+                    vel2 = vel
+                    v_upd = jnp.where(loss != 0.0, (v - lr * grad).astype(v.dtype), v)
+                v2 = jnp.where(first, v, v_upd)
+                buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], it, 0)
+                mask = jax.lax.dynamic_update_index_in_dim(mask, jnp.asarray(True), it, 0)
+                # keep eval0's results for the no-refinement path / stale gate
+                l0 = jnp.where(first, loss, l0)
+                g0 = jnp.where(first, grad, g0)
+                a0 = jax.tree_util.tree_map(lambda new, old: jnp.where(first, new, old), aux, a0)
+                return (it + 1, v2, aux["gu"], needs2, l0, g0, a0, buf, mask, vel2)
 
-            var1, loss1, aux1, grad1, refine_iters, eval_buf, eval_mask = jax.lax.cond(
-                needs_refine, do_refine, no_refine, (var, aux0["gu"], eval_buf, eval_mask)
+            init = (
+                jnp.int32(0),
+                var,
+                jnp.zeros((spec.n_groups,)),
+                jnp.asarray(False),
+                jnp.zeros(()),
+                zero_grad(),
+                zero_eval_aux(),
+                eval_buf,
+                eval_mask,
+                jnp.zeros_like(var),
+            )
+            (
+                n_evals,
+                var1,
+                _gu,
+                needs_refine,
+                loss0,
+                grad0,
+                aux0,
+                eval_buf,
+                eval_mask,
+                _vel,
+            ) = jax.lax.while_loop(loop_cond, loop_body, init)
+            refine_iters = n_evals - 1  # bodies after eval0
+
+            def do_final(v):
+                # final fresh forward after refinement, no update
+                # (pipeline:564-578)
+                (loss_f, aux_f), grad_f = guidance_eval(latents, t, gate, v)
+                return loss_f, aux_f, grad_f
+
+            def no_final(v):
+                return loss0, aux0, grad0
+
+            loss1, aux1, grad1 = jax.lax.cond(needs_refine, do_final, no_final, var1)
+            eval_buf = jnp.where(
+                needs_refine,
+                jax.lax.dynamic_update_index_in_dim(eval_buf, aux1["unscaled_tok"], R_sub - 1, 0),
+                eval_buf,
+            )
+            eval_mask = jnp.where(
+                needs_refine,
+                jax.lax.dynamic_update_index_in_dim(eval_mask, jnp.asarray(True), R_sub - 1, 0),
+                eval_mask,
             )
 
             # gradient update gate (pipeline:998-1007); meets_threshold(-1,...)
