@@ -476,6 +476,9 @@ def build_generate_raw(
 
             lat_f32 = prev.astype(jnp.float32)
             absl = jnp.abs(lat_f32)
+            # bulk per-step tensors travel to the host as fp16 — diagnostics
+            # only, and host transfer is a measurable share of per-image
+            # latency on remote-attached TPUs
             diag = StepDiag(
                 total_loss=loss,
                 group_unscaled=aux["gu"],
@@ -490,9 +493,9 @@ def build_generate_raw(
                 latent_mean=jnp.mean(lat_f32, axis=(0, 1, 2)),
                 latent_std=jnp.std(absl, axis=(0, 1, 2)),
                 latent_p99=jnp.quantile(absl.reshape(-1, C), 0.99, axis=0),
-                x0_pred=x0[0],
-                latent_in=latents[0].astype(jnp.float32),
-                maps=aux["maps"],
+                x0_pred=x0[0].astype(jnp.float16),
+                latent_in=latents[0].astype(jnp.float16),
+                maps=aux["maps"].astype(jnp.float16),
                 eval_unscaled=eval_buf,
                 eval_mask=eval_mask,
             )

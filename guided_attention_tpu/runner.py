@@ -203,7 +203,7 @@ class GuidedAttentionPipeline:
 
         images = None
         if decode:
-            images = np.asarray(self.sd.decode_latents(final_latents))
+            images = np.asarray(self.sd.decode_latents_u8(final_latents)).astype(np.float32) / 255.0
         diags_np = jax.tree_util.tree_map(np.asarray, diags)
         return PipelineOutput(
             images=images,
@@ -286,7 +286,10 @@ class GuidedAttentionPipeline:
         for b, seed in enumerate(seeds):
             images = None
             if decode:
-                images = np.asarray(self.sd.decode_latents(jnp.asarray(final[b])))
+                images = (
+                    np.asarray(self.sd.decode_latents_u8(jnp.asarray(final[b]))).astype(np.float32)
+                    / 255.0
+                )
             outputs.append(
                 PipelineOutput(
                     images=images,
