@@ -130,6 +130,7 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             sub_prompt_avg_within=config.sub_prompt_avg_within,
             skip_inert_guidance_passes=config.skip_inert_guidance_passes,
             diagnostic_level=config.diagnostic_level,
+            capture_eval_maps=config.save_all_maps,
         )
 
     # Gather (seed, hyperparam-state, output) work items. With batch_size > 1
@@ -184,7 +185,12 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             save_latent_stats_figure(
                 out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
             )
-        writer.write_step_maps(out, words)
+        if config.save_all_maps:
+            from guided_attention_tpu.runtime.artifacts import write_eval_maps
+
+            write_eval_maps(writer, out, words)
+        else:
+            writer.write_step_maps(out, words)
         always_save = [0, 1, 2]  # pipeline:881
         if config.diagnostic_level > 0 or always_save:
             writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)

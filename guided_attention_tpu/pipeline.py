@@ -64,6 +64,9 @@ class GenStatics:
     max_iter_to_alter: int = 25
     last_threshold: float = 1.0  # meets_threshold(-1, ...) value (pipeline:1083)
     capture_step_maps: bool = True  # return final-eval maps per step
+    # per-refinement-slot UNSMOOTHED maps (reference dumps a PNG per token
+    # per eval, pipeline:239-245); heavy output, off by default
+    capture_eval_maps: bool = False
 
 
 @struct.dataclass
@@ -128,6 +131,7 @@ class StepDiag:
     maps: jnp.ndarray  # [R, R, K] final-eval smoothed maps (or zeros)
     eval_unscaled: jnp.ndarray  # [R_sub, K] per-slot per-token unscaled
     eval_mask: jnp.ndarray  # bool[R_sub]
+    eval_maps: jnp.ndarray  # f16[R_sub, R, R, K] per-slot probs (or [1,1,1,1])
 
 
 def aggregate_cross_maps(maps: Dict[str, Any], res: int, from_where=("up", "down", "mid")):
@@ -170,6 +174,11 @@ def build_generate_raw(
 
     def _zero_deep():
         return jnp.zeros(deep_shape, ucfg.dtype)
+
+    _eval_maps_shape = (R_sub, R, R, K) if statics.capture_eval_maps else (1, 1, 1, 1)
+
+    def _zero_eval_maps():
+        return jnp.zeros(_eval_maps_shape, jnp.float16)
 
     def generate(params, emb, latents0, spec: GuidanceSpec, sched: DDIMSchedule, arrays: StepArrays, key):
         uncond, cond = emb[0:1], emb[1:2]
@@ -221,6 +230,10 @@ def build_generate_raw(
                     "max_attn": stats.max_attn,
                     "maps": stats.smoothed if statics.capture_step_maps else jnp.zeros((R, R, K)),
                 }
+                if statics.capture_eval_maps:
+                    # the reference dumps the UNsmoothed re-softmaxed map per
+                    # eval (pipeline:239-245)
+                    aux_out["probs16"] = stats.probs.astype(jnp.float16)
                 return total, aux_out
 
             return jax.value_and_grad(loss_fn, has_aux=True)(var)
@@ -235,7 +248,11 @@ def build_generate_raw(
                 "row": jnp.zeros((K,)),
                 "max_attn": jnp.zeros((K,)),
                 "maps": jnp.zeros((R, R, K)),
-            }
+            } | (
+                {"probs16": jnp.zeros((R, R, K), jnp.float16)}
+                if statics.capture_eval_maps
+                else {}
+            )
 
         def guided_update(latents, i, t, gate):
             """Refinement + gradient update for one step (pipeline:961-1007).
@@ -249,6 +266,7 @@ def build_generate_raw(
             thresh_i = arrays.thresholds[i]
             eval_buf = jnp.zeros((R_sub, K))
             eval_mask = jnp.zeros((R_sub,), bool)
+            eval_maps0 = _zero_eval_maps()
 
             if deep_mode:
                 # fresh capture of the bottleneck (reference pipeline:704,
@@ -269,7 +287,7 @@ def build_generate_raw(
                 return jnp.zeros_like(var)
 
             def loop_cond(c):
-                it, v, gu, needs, l0, g0, a0, buf, mask, vel = c
+                it, v, gu, needs, l0, g0, a0, buf, mask, mbuf, vel = c
                 return jnp.logical_or(
                     it == 0,
                     jnp.logical_and(
@@ -279,7 +297,7 @@ def build_generate_raw(
                 )
 
             def loop_body(c):
-                it, v, gu, needs, l0, g0, a0, buf, mask, vel = c
+                it, v, gu, needs, l0, g0, a0, buf, mask, mbuf, vel = c
                 (loss, aux), grad = guidance_eval(latents, t, gate, v)
                 first = it == 0
                 needs2 = jnp.where(
@@ -295,11 +313,13 @@ def build_generate_raw(
                 v2 = jnp.where(first, v, v_upd)
                 buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], it, 0)
                 mask = jax.lax.dynamic_update_index_in_dim(mask, jnp.asarray(True), it, 0)
+                if statics.capture_eval_maps:
+                    mbuf = jax.lax.dynamic_update_index_in_dim(mbuf, aux["probs16"], it, 0)
                 # keep eval0's results for the no-refinement path / stale gate
                 l0 = jnp.where(first, loss, l0)
                 g0 = jnp.where(first, grad, g0)
                 a0 = jax.tree_util.tree_map(lambda new, old: jnp.where(first, new, old), aux, a0)
-                return (it + 1, v2, aux["gu"], needs2, l0, g0, a0, buf, mask, vel2)
+                return (it + 1, v2, aux["gu"], needs2, l0, g0, a0, buf, mask, mbuf, vel2)
 
             init = (
                 jnp.int32(0),
@@ -311,6 +331,7 @@ def build_generate_raw(
                 zero_eval_aux(),
                 eval_buf,
                 eval_mask,
+                eval_maps0,
                 jnp.zeros_like(var),
             )
             (
@@ -323,6 +344,7 @@ def build_generate_raw(
                 aux0,
                 eval_buf,
                 eval_mask,
+                eval_maps,
                 _vel,
             ) = jax.lax.while_loop(loop_cond, loop_body, init)
             refine_iters = n_evals - 1  # bodies after eval0
@@ -347,6 +369,12 @@ def build_generate_raw(
                 jax.lax.dynamic_update_index_in_dim(eval_mask, jnp.asarray(True), R_sub - 1, 0),
                 eval_mask,
             )
+            if statics.capture_eval_maps:
+                eval_maps = jnp.where(
+                    needs_refine,
+                    jax.lax.dynamic_update_index_in_dim(eval_maps, aux1["probs16"], R_sub - 1, 0),
+                    eval_maps,
+                )
 
             # gradient update gate (pipeline:998-1007); meets_threshold(-1,...)
             # uses the LAST threshold value (pipeline:1083) and — reference
@@ -364,8 +392,8 @@ def build_generate_raw(
             )
             did_update = jnp.logical_or(needs_refine, apply)
             if deep_mode:
-                return latents, var2, did_update, loss1, aux1, refine_iters, eval_buf, eval_mask
-            return var2, _zero_deep(), did_update, loss1, aux1, refine_iters, eval_buf, eval_mask
+                return latents, var2, did_update, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
+            return var2, _zero_deep(), did_update, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
 
         def _cfg_eps(latents, t, gate, deep_inject=None):
             if do_cfg:
@@ -411,13 +439,14 @@ def build_generate_raw(
                         jnp.int32(0),
                         jnp.zeros((R_sub, K)),
                         jnp.zeros((R_sub,), bool),
+                        _zero_eval_maps(),
                     )
 
-                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask = jax.lax.cond(
+                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = jax.lax.cond(
                     pred, run, skip, latents
                 )
             else:
-                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask = (
+                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = (
                     latents,
                     _zero_deep(),
                     jnp.asarray(False),
@@ -426,10 +455,11 @@ def build_generate_raw(
                     jnp.int32(0),
                     jnp.zeros((R_sub, K)),
                     jnp.zeros((R_sub,), bool),
+                    _zero_eval_maps(),
                 )
             prev, x0 = cfg_and_step(lat2, i, t, gate, deep, did_update)
             # scheduler math runs fp32; the carried latent keeps the compute dtype
-            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask
+            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps
 
         def step(carry, i):
             latents, key = carry
@@ -443,14 +473,14 @@ def build_generate_raw(
 
                 def recur_body(c):
                     r, done, work, out, pack = c
-                    prev, x0, did_update, loss, aux, ri, ebuf, emask = one_pass(work, i, t, gate)
+                    prev, x0, did_update, loss, aux, ri, ebuf, emask, emaps = one_pass(work, i, t, gate)
                     done2 = jnp.logical_or(
                         jnp.logical_or(i > recurse_until, ~did_update),
                         r + 1 >= recurse_steps,
                     )
                     key_r = jax.random.fold_in(jax.random.fold_in(key, i), r)
                     work2 = renoise(sched, i, prev, key_r)
-                    pack2 = (x0, did_update, loss, aux, ri, ebuf, emask, r + 1)
+                    pack2 = (x0, did_update, loss, aux, ri, ebuf, emask, emaps, r + 1)
                     return (r + 1, done2, work2, prev, pack2)
 
                 x0_0 = jnp.zeros_like(latents, jnp.float32)
@@ -462,14 +492,15 @@ def build_generate_raw(
                     jnp.int32(0),
                     jnp.zeros((R_sub, K)),
                     jnp.zeros((R_sub,), bool),
+                    _zero_eval_maps(),
                     jnp.int32(0),
                 )
                 _r, _done, _work, prev, pack = jax.lax.while_loop(
                     recur_cond, recur_body, (jnp.int32(0), jnp.asarray(False), latents, latents, pack0)
                 )
-                x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, recursions = pack
+                x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, recursions = pack
             else:
-                prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask = one_pass(
+                prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = one_pass(
                     latents, i, t, gate
                 )
                 recursions = jnp.int32(1)
@@ -498,6 +529,7 @@ def build_generate_raw(
                 maps=aux["maps"].astype(jnp.float16),
                 eval_unscaled=eval_buf,
                 eval_mask=eval_mask,
+                eval_maps=eval_maps,
             )
             return (prev.astype(latents0.dtype), key), diag
 

@@ -101,6 +101,7 @@ class GuidedAttentionPipeline:
         skip_inert_guidance_passes,
         diagnostic_level,
         negative_prompt,
+        capture_eval_maps=False,
     ):
         hp = hp or HyperParams()
         if thresholds is not None:
@@ -138,6 +139,7 @@ class GuidedAttentionPipeline:
             only_update_on_threshold_steps=only_update_on_threshold_steps,
             max_iter_to_alter=max_iter_to_alter,
             last_threshold=float(thr_values[-1]) if thr_values else float("inf"),
+            capture_eval_maps=capture_eval_maps,
         )
 
         sched = make_ddim_schedule(num_inference_steps)
@@ -178,6 +180,7 @@ class GuidedAttentionPipeline:
         negative_prompt: str = "",
         latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
+        capture_eval_maps: bool = False,
     ) -> PipelineOutput:
         hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
             meta_prompt, prompt, annotations, hp, num_inference_steps, guidance_scale,
@@ -185,6 +188,7 @@ class GuidedAttentionPipeline:
             scale_range, smooth_attentions, sigma, kernel_size, sd_2_1,
             only_update_on_threshold_steps, sub_prompt_avg_within,
             skip_inert_guidance_passes, diagnostic_level, negative_prompt,
+            capture_eval_maps,
         )
 
         key = jax.random.PRNGKey(seed)
@@ -259,6 +263,7 @@ class GuidedAttentionPipeline:
             kwargs.pop("skip_inert_guidance_passes", True),
             kwargs.pop("diagnostic_level", 0),
             kwargs.pop("negative_prompt", ""),
+            kwargs.pop("capture_eval_maps", False),
         )
         if kwargs:
             raise TypeError(f"unknown generate_batch kwargs: {sorted(kwargs)}")

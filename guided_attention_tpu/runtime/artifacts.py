@@ -373,3 +373,24 @@ def save_diagnostic_preds(pipe, out, writer: "ArtifactWriter", diagnostic_level:
             fname = (writer.clean + writer._state_name(i, 0) + "_xt").replace(".", "_") + ".png"
             writer.async_writer.submit_image(img_xt, writer.step_dir / fname)
     writer.async_writer.flush()
+
+
+def write_eval_maps(writer: "ArtifactWriter", out, words: Dict[int, str]) -> None:
+    """Per-(iter, subiter) map PNGs from StepDiag.eval_maps — the reference's
+    per-eval dump behavior (pipeline:237-246 executes at every loss
+    evaluation). Requires the run to have used capture_eval_maps=True."""
+    d = out.diagnostics
+    if d.eval_maps.shape[-1] <= 1:
+        raise ValueError("run with capture_eval_maps=True to dump per-eval maps")
+    S, R_sub = d.eval_mask.shape
+    for i in range(S):
+        for k in range(R_sub):
+            if not d.eval_mask[i, k]:
+                continue
+            for tok, word in words.items():
+                fname = f"_attnmap_{word}_{writer.clean}{writer._state_name(i, k)}.png"
+                writer.async_writer.submit_map(
+                    np.asarray(d.eval_maps[i, k, :, :, tok], np.float32),
+                    writer.step_dir / fname,
+                )
+    writer.async_writer.flush()

@@ -143,3 +143,28 @@ def test_custom_loss_through_pipeline(pipe):
     d = out.diagnostics
     assert d.eval_mask[0].sum() >= 1
     assert np.isfinite(out.latents).all()
+
+
+def test_capture_eval_maps(pipe):
+    """Per-refinement-slot map capture (reference dumps a PNG per token per
+    loss evaluation, pipeline:237-246)."""
+    out = pipe(
+        meta_prompt="a [dog:.2,.3] x",
+        seed=8,
+        num_inference_steps=2,
+        thresholds={0: 0.3},
+        capture_eval_maps=True,
+    )
+    d = out.diagnostics
+    assert d.eval_maps.shape[1:] == (12, 16, 16, 77)
+    # slots recorded where eval_mask is set, and they differ across slots
+    i = 0
+    slots = np.where(d.eval_mask[i])[0]
+    assert len(slots) >= 2
+    m0 = d.eval_maps[i, slots[0]].astype(np.float32)
+    m1 = d.eval_maps[i, slots[-1]].astype(np.float32)
+    assert m0.max() > 0 and m1.max() > 0
+    assert not np.array_equal(m0, m1)
+    # default runs keep the dummy shape
+    out2 = pipe(meta_prompt="a [dog:.2,.3] x", seed=8, num_inference_steps=2, thresholds={0: 0.3})
+    assert out2.diagnostics.eval_maps.shape[1:] == (1, 1, 1, 1)
