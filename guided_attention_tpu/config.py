@@ -135,6 +135,9 @@ class RunConfig:
     # per inner loop (reference shared_state.hyperParameterIterations,
     # utils/shared_state.py:22). None => single default state.
     hyperparam_iterations: Optional[List[Dict[str, Any]]] = None
+    # Write a jax.profiler trace of the run to this directory (TensorBoard /
+    # xprof format). The reference has no profiler (SURVEY.md par.5).
+    profile_dir: Optional[str] = None
 
     # Filled in by the frontends after parsing
     prompt: Optional[str] = None

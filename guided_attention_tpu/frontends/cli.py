@@ -219,6 +219,12 @@ def main(argv: Optional[List[str]] = None):
         from guided_attention_tpu.frontends.gui import run_server
 
         run_server(config, pipe)
+    elif config.profile_dir:
+        import jax
+
+        with jax.profiler.trace(str(config.profile_dir)):
+            execute(config, pipe)
+        print(f"profiler trace written to {config.profile_dir}")
     else:
         execute(config, pipe)
 
