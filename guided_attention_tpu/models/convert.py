@@ -54,24 +54,32 @@ def _merge_digits(key: str) -> str:
     return key.replace(".", "_")
 
 
-_STRIP_PREFIXES = ("text_model_", "encoder_", "embeddings_")
-_RENAMES = (
-    # older diffusers VAE attention naming
+# CLIP text encoder: flax tree is flat under the model root, the torch keys
+# carry text_model.encoder.layers / text_model.embeddings wrappers
+_TEXT_STRIPS = ("text_model.", "encoder.", "embeddings.")
+# legacy diffusers<=0.12 VAE AttentionBlock naming (the reference pins 0.12,
+# environment/requirements.txt:7) -> modern to_q/to_k/to_v/to_out.0/group_norm.
+# Applied on the DOTTED key ('.' is a regex word boundary; after merging,
+# '_' would defeat \b) and only for the vae component: the UNet's
+# Transformer2D legitimately owns a GroupNorm named plain 'norm'.
+_LEGACY_VAE_RENAMES = (
     (re.compile(r"\bquery\b"), "to_q"),
     (re.compile(r"\bkey\b"), "to_k"),
     (re.compile(r"\bvalue\b"), "to_v"),
-    (re.compile(r"proj_attn"), "to_out_0"),
-    (re.compile(r"\bnorm\b(?=_weight|_bias)"), "group_norm"),
+    (re.compile(r"\bproj_attn\b"), "to_out_0"),
+    (re.compile(r"\bnorm\b"), "group_norm"),
 )
 
 
-def _normalize_torch_key(key: str) -> str:
-    k = _merge_digits(key)
-    for pref in _STRIP_PREFIXES:
-        k = k.replace(pref, "")
-    for pat, rep in _RENAMES:
-        k = pat.sub(rep, k)
-    return k
+def _normalize_torch_key(key: str, component: str) -> str:
+    k = key
+    if component == "text_encoder":
+        for pref in _TEXT_STRIPS:
+            k = k.replace(pref, "")
+    elif component == "vae":
+        for pat, rep in _LEGACY_VAE_RENAMES:
+            k = pat.sub(rep, k)
+    return _merge_digits(k)
 
 
 def _flatten(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Any]]:
@@ -114,7 +122,9 @@ def convert_state_dict(
     leaf_map = {"weight": ("kernel", "scale", "embedding"), "bias": ("bias",)}
     unmatched = []
     for tkey, tval in torch_sd.items():
-        norm = _normalize_torch_key(tkey)
+        if tkey.endswith("position_ids"):  # transformers buffer, not a param
+            continue
+        norm = _normalize_torch_key(tkey, component)
         parts = norm.rsplit("_", 1)
         base, tleaf = (parts[0], parts[1]) if len(parts) == 2 else ("", parts[0])
         candidates = [base + "_" + fl for fl in leaf_map.get(tleaf, ())]

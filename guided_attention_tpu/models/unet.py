@@ -140,7 +140,7 @@ class FeedForward(nn.Module):
         # GEGLU (diffusers): proj to 8*dim, split, x * gelu(gate)
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)  # diffusers GEGLU uses exact gelu
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 

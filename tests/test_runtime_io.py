@@ -67,7 +67,7 @@ def test_convert_state_dict_mechanics():
     transposes, full coverage check."""
     from guided_attention_tpu.models.convert import convert_state_dict
 
-    flax_params = {
+    unet_params = {
         "down_blocks_0_resnets_1": {
             "conv1": {"kernel": jnp.zeros((3, 3, 4, 8)), "bias": jnp.zeros((8,))},
             "norm1": {"scale": jnp.zeros((4,)), "bias": jnp.zeros((4,))},
@@ -78,6 +78,8 @@ def test_convert_state_dict_mechanics():
                 "ff": {"net_0_proj": {"kernel": jnp.zeros((8, 64))}},
             }
         },
+    }
+    clip_params = {
         "token_embedding": {"embedding": jnp.zeros((10, 8))},
         "position_embedding": jnp.zeros((7, 8)),
     }
@@ -93,10 +95,14 @@ def test_convert_state_dict_mechanics():
         "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight": rng.random(
             (64, 8)
         ).astype(np.float32),
+    }
+    clip_sd = {
         "text_model.embeddings.token_embedding.weight": rng.random((10, 8)).astype(np.float32),
         "text_model.embeddings.position_embedding.weight": rng.random((7, 8)).astype(np.float32),
+        "text_model.embeddings.position_ids": np.arange(7)[None].astype(np.int64),
     }
-    out = convert_state_dict(torch_sd, flax_params, "test")
+    out = convert_state_dict(torch_sd, unet_params, "unet")
+    out.update(convert_state_dict(clip_sd, clip_params, "text_encoder"))
     # conv kernel transposed OIHW -> HWIO
     np.testing.assert_array_equal(
         np.asarray(out["down_blocks_0_resnets_1"]["conv1"]["kernel"]),
@@ -110,11 +116,11 @@ def test_convert_state_dict_mechanics():
     # embedding not transposed; raw param matched without leaf suffix
     np.testing.assert_array_equal(
         np.asarray(out["token_embedding"]["embedding"]),
-        torch_sd["text_model.embeddings.token_embedding.weight"],
+        clip_sd["text_model.embeddings.token_embedding.weight"],
     )
     np.testing.assert_array_equal(
         np.asarray(out["position_embedding"]),
-        torch_sd["text_model.embeddings.position_embedding.weight"],
+        clip_sd["text_model.embeddings.position_embedding.weight"],
     )
 
 
