@@ -50,6 +50,10 @@ def main():
             seed=seed,
             num_inference_steps=steps,
             decode=True,
+            # image-only path: per-step diagnostic tensors collapse to unit
+            # placeholders so the scan output (and host transfer over the
+            # remote tunnel) is a few KB instead of ~5 MB per image
+            capture_diagnostics=False,
         )
 
     t0 = time.time()

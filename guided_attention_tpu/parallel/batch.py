@@ -71,11 +71,17 @@ def build_batch_generate(
             donate_argnums=(2,),
         )
 
-    # jit is resolved lazily per params structure; cache one instance
+    # in_shardings depend on the param tree's paths/shapes, so the jit
+    # instance is cached per tree structure (not per bundle identity — a
+    # swapped sd.params tree must not silently reuse stale shardings)
     cache = {}
 
+    def _params_key(params):
+        flat, treedef = jax.tree_util.tree_flatten(params)
+        return (treedef, tuple((tuple(l.shape), str(l.dtype)) for l in flat))
+
     def generate(params, emb, latents0, spec, sched, arrays, keys):
-        key = id(sd)
+        key = _params_key(params)
         if key not in cache:
             cache[key] = make(params)
         return cache[key](params, emb, latents0, spec, sched, arrays, keys)

@@ -67,6 +67,12 @@ class GenStatics:
     # per-refinement-slot UNSMOOTHED maps (reference dumps a PNG per token
     # per eval, pipeline:239-245); heavy output, off by default
     capture_eval_maps: bool = False
+    # 0 = minimal StepDiag (loss scalars + control-flow counters only; the
+    # bulky per-step tensors shrink to unit placeholders so the scan output
+    # — and the host transfer on remote-attached TPUs — is a few KB per
+    # image); 1 = full per-step diagnostics (reference parity: log lines,
+    # step maps, x0 preds, latent stats are all derivable host-side)
+    diag_level: int = 1
 
 
 @struct.dataclass
@@ -505,6 +511,33 @@ def build_generate_raw(
                 )
                 recursions = jnp.int32(1)
 
+            if statics.diag_level == 0:
+                # minimal outputs: only what cheap callers (bench, image-only
+                # API use) read; the heavy tensors become unit placeholders so
+                # XLA dead-code-eliminates their compute (incl. the quantile
+                # sort) and the scan's stacked output stays tiny
+                diag = StepDiag(
+                    total_loss=loss,
+                    group_unscaled=aux["gu"],
+                    per_token_unscaled=jnp.zeros((1,)),
+                    token_attn_sum=jnp.zeros((1,)),
+                    col=jnp.zeros((1,)),
+                    row=jnp.zeros((1,)),
+                    max_attn=jnp.zeros((1,)),
+                    refine_iters=refine_iters,
+                    did_update=did_update,
+                    recursions=recursions,
+                    latent_mean=jnp.zeros((1,)),
+                    latent_std=jnp.zeros((1,)),
+                    latent_p99=jnp.zeros((1,)),
+                    x0_pred=jnp.zeros((1, 1, 1), jnp.float16),
+                    latent_in=jnp.zeros((1, 1, 1), jnp.float16),
+                    maps=jnp.zeros((1, 1, 1), jnp.float16),
+                    eval_unscaled=jnp.zeros((1, 1)),
+                    eval_mask=jnp.zeros((1,), bool),
+                    eval_maps=jnp.zeros((1, 1, 1, 1), jnp.float16),
+                )
+                return (prev.astype(latents0.dtype), key), diag
             lat_f32 = prev.astype(jnp.float32)
             absl = jnp.abs(lat_f32)
             # bulk per-step tensors travel to the host as fp16 — diagnostics

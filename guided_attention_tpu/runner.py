@@ -46,8 +46,20 @@ class GuidedAttentionPipeline:
         self.registry = registry or default_registry()
         self._generate_cache: Dict[Any, Any] = {}
         self._batch_cache: Dict[Any, Any] = {}
+        self._prepare_cache: Dict[Any, Any] = {}
         self._encode = jax.jit(
             lambda p, ids: self.sd.text_encoder.apply({"params": p}, ids)
+        )
+        cfg = sd.config
+        # eager random.normal / PRNGKey / split each cost a host<->device
+        # roundtrip on remote-attached TPUs; jit them like everything else
+        self._init_latents_jit = jax.jit(
+            lambda key: jax.random.normal(
+                key, (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels), jnp.float32
+            ).astype(cfg.unet.dtype)
+        )
+        self._seed_keys_jit = jax.jit(
+            lambda seed: jax.random.split(jax.random.PRNGKey(seed))
         )
 
     def register_custom_loss(self, name: str, loss) -> None:
@@ -102,6 +114,66 @@ class GuidedAttentionPipeline:
         diagnostic_level,
         negative_prompt,
         capture_eval_maps=False,
+        capture_diagnostics=True,
+    ):
+        # Seed sweeps re-call with identical prompt/config: cache the prepared
+        # (spec, statics, sched, arrays, emb) so repeat calls skip the host->
+        # device uploads + CLIP forward (~100 ms/image on a remote tunnel).
+        cache_key = None
+        if annotations is None:
+            cache_key = (
+                meta_prompt, prompt,
+                self._hp_key(hp) if hp is not None else None,
+                num_inference_steps, guidance_scale, max_iter_to_alter,
+                attention_res, run_standard_sd,
+                tuple(sorted(thresholds.items())) if thresholds is not None else None,
+                scale_factor, tuple(scale_range), smooth_attentions, sigma,
+                kernel_size, sd_2_1, only_update_on_threshold_steps,
+                sub_prompt_avg_within, skip_inert_guidance_passes,
+                diagnostic_level, negative_prompt, capture_eval_maps,
+                capture_diagnostics,
+            )
+            hit = self._prepare_cache.get(cache_key)
+            if hit is not None:
+                return hit
+        prepared = self._prepare_uncached(
+            meta_prompt, prompt, annotations, hp, num_inference_steps,
+            guidance_scale, max_iter_to_alter, attention_res, run_standard_sd,
+            thresholds, scale_factor, scale_range, smooth_attentions, sigma,
+            kernel_size, sd_2_1, only_update_on_threshold_steps,
+            sub_prompt_avg_within, skip_inert_guidance_passes,
+            diagnostic_level, negative_prompt, capture_eval_maps,
+            capture_diagnostics,
+        )
+        if cache_key is not None:
+            self._prepare_cache[cache_key] = prepared
+        return prepared
+
+    def _prepare_uncached(
+        self,
+        meta_prompt,
+        prompt,
+        annotations,
+        hp,
+        num_inference_steps,
+        guidance_scale,
+        max_iter_to_alter,
+        attention_res,
+        run_standard_sd,
+        thresholds,
+        scale_factor,
+        scale_range,
+        smooth_attentions,
+        sigma,
+        kernel_size,
+        sd_2_1,
+        only_update_on_threshold_steps,
+        sub_prompt_avg_within,
+        skip_inert_guidance_passes,
+        diagnostic_level,
+        negative_prompt,
+        capture_eval_maps=False,
+        capture_diagnostics=True,
     ):
         hp = hp or HyperParams()
         if thresholds is not None:
@@ -139,7 +211,9 @@ class GuidedAttentionPipeline:
             only_update_on_threshold_steps=only_update_on_threshold_steps,
             max_iter_to_alter=max_iter_to_alter,
             last_threshold=float(thr_values[-1]) if thr_values else float("inf"),
-            capture_eval_maps=capture_eval_maps,
+            capture_eval_maps=capture_eval_maps and capture_diagnostics,
+            capture_step_maps=capture_diagnostics,
+            diag_level=1 if capture_diagnostics else 0,
         )
 
         sched = make_ddim_schedule(num_inference_steps)
@@ -148,11 +222,7 @@ class GuidedAttentionPipeline:
         return hp, prompt, annotations, spec, statics, sched, arrays, emb
 
     def _init_latents(self, key):
-        cfg = self.sd.config
-        s = cfg.latent_size
-        return jax.random.normal(key, (1, s, s, cfg.unet.in_channels), jnp.float32).astype(
-            cfg.unet.dtype
-        )
+        return self._init_latents_jit(key)
 
     def __call__(
         self,
@@ -181,6 +251,7 @@ class GuidedAttentionPipeline:
         latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
         capture_eval_maps: bool = False,
+        capture_diagnostics: bool = True,
     ) -> PipelineOutput:
         hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
             meta_prompt, prompt, annotations, hp, num_inference_steps, guidance_scale,
@@ -188,11 +259,11 @@ class GuidedAttentionPipeline:
             scale_range, smooth_attentions, sigma, kernel_size, sd_2_1,
             only_update_on_threshold_steps, sub_prompt_avg_within,
             skip_inert_guidance_passes, diagnostic_level, negative_prompt,
-            capture_eval_maps,
+            capture_eval_maps, capture_diagnostics,
         )
 
-        key = jax.random.PRNGKey(seed)
-        key_init, key_run = jax.random.split(key)
+        keys = self._seed_keys_jit(seed)
+        key_init, key_run = keys[0], keys[1]
         if latents is None:
             latents = self._init_latents(key_init)
         else:
@@ -205,13 +276,16 @@ class GuidedAttentionPipeline:
             self.sd.params, emb, latents, spec, sched, arrays, key_run
         )
 
+        img_u8 = self.sd.decode_latents_u8(final_latents) if decode else None
+        # ONE batched device->host pull: per-leaf np.asarray costs a tunnel
+        # roundtrip per StepDiag field (~0.6 s/image on remote TPUs)
+        img_u8, final_np, diags_np = jax.device_get((img_u8, final_latents, diags))
         images = None
         if decode:
-            images = np.asarray(self.sd.decode_latents_u8(final_latents)).astype(np.float32) / 255.0
-        diags_np = jax.tree_util.tree_map(np.asarray, diags)
+            images = np.asarray(img_u8).astype(np.float32) / 255.0
         return PipelineOutput(
             images=images,
-            latents=np.asarray(final_latents),
+            latents=final_np,
             diagnostics=diags_np,
             spec=spec,
             prompt=prompt,
@@ -264,6 +338,7 @@ class GuidedAttentionPipeline:
             kwargs.pop("diagnostic_level", 0),
             kwargs.pop("negative_prompt", ""),
             kwargs.pop("capture_eval_maps", False),
+            kwargs.pop("capture_diagnostics", True),
         )
         if kwargs:
             raise TypeError(f"unknown generate_batch kwargs: {sorted(kwargs)}")
@@ -282,10 +357,11 @@ class GuidedAttentionPipeline:
         if cache_key not in self._batch_cache:
             self._batch_cache[cache_key] = build_batch_generate(self.sd, statics, hp, mesh)
         gen = self._batch_cache[cache_key]
+        from guided_attention_tpu.parallel.multihost import to_host
+
         with mesh:
             final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
-            final = np.asarray(final)
-            diags = jax.tree_util.tree_map(np.asarray, diags)
+            final, diags = to_host((final, diags))
 
         outputs = []
         for b, seed in enumerate(seeds):
