@@ -100,7 +100,9 @@ class RunConfig:
     smooth_attentions: bool = True
     sigma: float = 0.5
     kernel_size: int = 3
-    # Save final cross-attention maps
+    # Save final-step per-token cross-attention overlays (viewers/vis.py).
+    # The reference parses this flag but never reads it (config.py:31); here
+    # it is wired to the relevance visualizer at run end.
     save_cross_attention_maps: bool = False
     # bfloat16 weights/activations (reference: fp16, README.md:33)
     half_precision: bool = False
@@ -138,6 +140,11 @@ class RunConfig:
     # Write a jax.profiler trace of the run to this directory (TensorBoard /
     # xprof format). The reference has no profiler (SURVEY.md par.5).
     profile_dir: Optional[str] = None
+    # Multi-host launch (jax.distributed): set all three on every process.
+    # Single-host runs leave them None (parallel/multihost.py no-ops).
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     # Filled in by the frontends after parsing
     prompt: Optional[str] = None

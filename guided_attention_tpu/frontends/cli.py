@@ -21,6 +21,7 @@ import numpy as np
 
 from guided_attention_tpu.config import HyperParams, RunConfig, get_hyperparam_states
 from guided_attention_tpu.guidance.custom import default_registry
+from guided_attention_tpu.parallel.multihost import initialize as multihost_initialize, is_primary
 from guided_attention_tpu.runtime.artifacts import (
     ArtifactWriter,
     annotate_image,
@@ -81,7 +82,8 @@ def setup(config: RunConfig):
 
 
 def get_indices_to_alter(pipe, prompt: str) -> List[int]:
-    """Interactive token-index picker (reference run.py:32-41)."""
+    """Interactive token-index picker (reference run.py:32-41; note the
+    reference defines this but never calls it — kept for API parity)."""
     import pprint
 
     ids = pipe.sd.tokenizer.encode(prompt)
@@ -89,9 +91,7 @@ def get_indices_to_alter(pipe, prompt: str) -> List[int]:
         idx: pipe.sd.tokenizer.decode([t]) for idx, t in enumerate(ids) if 0 < idx < len(ids) - 1
     }
     pprint.pprint(token_idx_to_word)
-    token_indices = input(
-        "Please enter the a comma-separated list indices of the tokens you wish to alter (e.g., 2,5): "
-    )
+    token_indices = input("Comma-separated indices of tokens to alter (e.g. 2,5): ")
     token_indices = [int(i) for i in token_indices.split(",")]
     print(f"Altering tokens: {[token_idx_to_word[i] for i in token_indices]}")
     return token_indices
@@ -154,6 +154,11 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
                 out = pipe(meta_prompt=meta_prompt, seed=seed, **run_kwargs(hp))
                 work.append((seed, hp, meta_prompt, out))
 
+    if not work:  # empty --seeds: nothing generated, nothing to grid
+        return None
+    if not is_primary():  # multi-host: artifacts are host 0's job
+        return None
+
     for seed, hp, meta_prompt, out in work:
         hp_state = {
             "strict": hp.strict,
@@ -181,6 +186,16 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             }
         img, image_path = writer.write_final_image(out, out.annotations, config.annotate)
         writer.write_run_log(out, words)
+        if config.save_cross_attention_maps:
+            # final-step per-token JET overlays (the reference parses but
+            # never reads this flag; here it feeds the relevance viewer)
+            from guided_attention_tpu.viewers.vis import show_cross_attention
+
+            show_cross_attention(
+                out,
+                list(out.spec.words),
+                save_path=writer.run_dir / f"{seed}{writer.hyper_suffix}cross_attention.png",
+            )
         if config.diagnostic_level > 0:
             save_latent_stats_figure(
                 out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
@@ -206,6 +221,8 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
 
     grid = image_grid(images)
     if not config.interactive:
+        # parity: the reference annotates the grid with whatever annotations
+        # the LAST run left in shared_state (run.py:132-133)
         annotate_image(grid, out.annotations, size=grid.size[0])
     grid.save(config.output_path / f"{writer.clean}.png")
     return image_path
@@ -213,6 +230,8 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
 
 def main(argv: Optional[List[str]] = None):
     config = parse_args(argv)
+    # multi-host: must happen before any backend touch (no-op single-host)
+    multihost_initialize(config.coordinator_address, config.num_processes, config.process_id)
     pipe = setup(config)
     # default custom-loss registrations happen in the pipeline's registry
     if config.interactive:

@@ -29,6 +29,23 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def to_host(tree):
+    """Materialize a (possibly globally sharded) array pytree on this host.
+
+    Single-process: one batched device->host pull (per-leaf np.asarray costs
+    a tunnel roundtrip per leaf on remote-attached TPUs). Multi-process:
+    every host gathers the full arrays over DCN so artifact writing on the
+    primary sees all samples (runner.generate_batch routes its outputs
+    through this)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree_util.tree_map(
+            np.asarray, multihost_utils.process_allgather(tree)
+        )
+    return jax.device_get(tree)
+
+
 def gather_to_host(x) -> np.ndarray:
     """All-gather a globally sharded array's data onto every host as numpy
     (DCN collective; used to collect per-seed images for artifact output)."""

@@ -100,6 +100,30 @@ def test_vis_overlays(artifacts, tmp_path):
     assert pil.size[0] > 0
 
 
+def test_web_ui_affordances():
+    """The UI ships every interaction of the reference web_ui.html:199-845:
+    output-canvas annotation overlay (toggle), per-annotation delete/redraw,
+    CustomLoss entry, the meta-prompt builder + POST protocol."""
+    ui = (
+        Path(__file__).parent.parent
+        / "guided_attention_tpu"
+        / "frontends"
+        / "web"
+        / "ui.html"
+    ).read_text()
+    for needle in (
+        "execute_function",  # POST protocol (reference web_ui.html:416-422)
+        "createMetaPrompt",
+        "showAnnotations",  # output overlay toggle (reference :838-845)
+        "submitted",  # submit-time annotation capture (reference :316-329)
+        "deleteAnnotation",
+        "editAnnotation",
+        "CustomLoss",
+        "unusedColor",  # color pool (reference :279-291)
+    ):
+        assert needle in ui, needle
+
+
 def test_gui_server_roundtrip(artifacts):
     import http.client
     import threading

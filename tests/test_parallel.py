@@ -38,6 +38,23 @@ def test_batch_matches_single_standard_sd(pipe):
     assert not np.array_equal(outs[0].latents, outs[1].latents)
 
 
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host wrappers (the multi-process
+    side is jax.distributed + process_allgather, exercised only on real
+    pods; here we pin the no-op contracts and the sharded-array path)."""
+    from guided_attention_tpu.parallel import multihost
+
+    multihost.initialize(None, None, None)  # must not touch jax.distributed
+    multihost.initialize("127.0.0.1:1234", 1, 0)  # num_processes<=1: no-op
+    assert multihost.is_primary()
+    assert multihost.local_batch_slice(8) == slice(0, 8)
+
+    mesh = make_mesh({"data": 8})
+    x = jnp.arange(16.0).reshape(8, 2)
+    sharded = jax.device_put(x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    np.testing.assert_array_equal(multihost.to_host(sharded), np.asarray(x))
+
+
 def test_batch_guided_over_dp_tp_mesh(pipe):
     mesh = make_mesh({"data": 2, "tensor": 2})
     outs = pipe.generate_batch(

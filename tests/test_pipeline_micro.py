@@ -168,3 +168,35 @@ def test_capture_eval_maps(pipe):
     # default runs keep the dummy shape
     out2 = pipe(meta_prompt="a [dog:.2,.3] x", seed=8, num_inference_steps=2, thresholds={0: 0.3})
     assert out2.diagnostics.eval_maps.shape[1:] == (1, 1, 1, 1)
+
+
+def test_attention_res_32_end_to_end():
+    """attention_res=32 through spec, capture, losses, and the guided scan
+    (the reference stores maps up to 32^2 pixels, ptp_utils.py:228, but its
+    loss loops hardcode 16 — here the whole path generalizes)."""
+    import dataclasses
+
+    from guided_attention_tpu.models.configs import micro_config
+
+    cfg = micro_config()
+    cfg = dataclasses.replace(
+        cfg,
+        unet=dataclasses.replace(cfg.unet, sample_size=32),
+        latent_size=32,
+        image_size=256,
+    )
+    sd = StableDiffusion.from_config(cfg)
+    pipe32 = GuidedAttentionPipeline(sd)
+    out = pipe32(
+        meta_prompt=META,
+        seed=1,
+        num_inference_steps=2,
+        attention_res=32,
+        thresholds={0: 0.5},
+        decode=False,
+    )
+    d = out.diagnostics
+    assert d.maps.shape == (2, 32, 32, 77)
+    assert d.refine_iters[0] > 0
+    assert np.isfinite(out.latents).all()
+    assert out.spec.inside_mask.shape[1:] == (32, 32)
