@@ -283,55 +283,84 @@ def build_generate_raw(
             else:
                 var = latents
 
-            # One while_loop hosts BOTH the initial evaluation (iteration 0,
-            # no update — reference pipeline:961-973) and the refinement
-            # bodies (iterations 1..max, eval-then-update — pipeline:501-553).
-            # This keeps a single UNet fwd+bwd instance in the compiled step
-            # body instead of two; eval0's results are carried so the
-            # no-refinement path reuses them without another forward.
+            # ONE while_loop hosts the initial evaluation (phase 0 — reference
+            # pipeline:961-973), the refinement bodies (phase 1, eval-then-
+            # update — pipeline:501-553), AND the final fresh no-update
+            # forward after refinement (phase 2 — pipeline:564-578). A single
+            # UNet fwd+bwd instance lives in the compiled step body instead of
+            # three; the serialized executable (which rides the remote-TPU
+            # tunnel on every cold start) shrinks accordingly.
+            PH_EVAL0, PH_REFINE, PH_FINAL, PH_DONE = 0, 1, 2, 3
+
             def zero_grad():
                 return jnp.zeros_like(var)
 
             def loop_cond(c):
-                it, v, gu, needs, l0, g0, a0, buf, mask, mbuf, vel = c
-                return jnp.logical_or(
-                    it == 0,
-                    jnp.logical_and(
-                        jnp.logical_and(needs, ~meets_threshold(gu, a0["valid"], thresh_i)),
-                        it <= statics.max_refinement_steps,
-                    ),
-                )
+                return c[0] < PH_DONE
 
             def loop_body(c):
-                it, v, gu, needs, l0, g0, a0, buf, mask, mbuf, vel = c
+                (phase, n_ref, v, needs, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, vel) = c
                 (loss, aux), grad = guidance_eval(latents, t, gate, v)
-                first = it == 0
-                needs2 = jnp.where(
-                    first, ~meets_threshold(aux["gu"], aux["valid"], thresh_i), needs
-                )
+                first = phase == PH_EVAL0
+                refining = phase == PH_REFINE
+                final = phase == PH_FINAL
+                met = meets_threshold(aux["gu"], aux["valid"], thresh_i)
+
+                # eval slots: 0 = eval0, 1..max = refinement, R_sub-1 = final
+                slot = jnp.where(first, 0, jnp.where(final, R_sub - 1, n_ref + 1))
+                buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], slot, 0)
+                mask = jax.lax.dynamic_update_index_in_dim(mask, jnp.asarray(True), slot, 0)
+                if statics.capture_eval_maps:
+                    mbuf = jax.lax.dynamic_update_index_in_dim(mbuf, aux["probs16"], slot, 0)
+
+                needs2 = jnp.where(first, ~met, needs)
+                # eval0's stats feed the stale threshold gate (pipeline:999)
+                a0 = jax.tree_util.tree_map(lambda new, old: jnp.where(first, new, old), aux, a0)
+
+                # latent/deep update happens only on refinement bodies
                 if hp.use_optimizer:
                     # SGD + momentum, lr = step/2.5 (pipeline:495-497)
-                    vel2 = jnp.where(first, vel, (0.8 * vel + grad).astype(v.dtype))
+                    vel2 = jnp.where(refining, (0.8 * vel + grad).astype(v.dtype), vel)
                     v_upd = (v - (lr / 2.5) * vel2).astype(v.dtype)
                 else:
                     vel2 = vel
                     v_upd = jnp.where(loss != 0.0, (v - lr * grad).astype(v.dtype), v)
-                v2 = jnp.where(first, v, v_upd)
-                buf = jax.lax.dynamic_update_index_in_dim(buf, aux["unscaled_tok"], it, 0)
-                mask = jax.lax.dynamic_update_index_in_dim(mask, jnp.asarray(True), it, 0)
-                if statics.capture_eval_maps:
-                    mbuf = jax.lax.dynamic_update_index_in_dim(mbuf, aux["probs16"], it, 0)
-                # keep eval0's results for the no-refinement path / stale gate
-                l0 = jnp.where(first, loss, l0)
-                g0 = jnp.where(first, grad, g0)
-                a0 = jax.tree_util.tree_map(lambda new, old: jnp.where(first, new, old), aux, a0)
-                return (it + 1, v2, aux["gu"], needs2, l0, g0, a0, buf, mask, mbuf, vel2)
+                v2 = jnp.where(refining, v_upd, v)
+                n_ref2 = n_ref + jnp.where(refining, 1, 0).astype(jnp.int32)
+
+                # the eval whose results flow onward: eval0 when no refinement
+                # is needed, else the final fresh forward
+                set_fin = jnp.logical_or(jnp.logical_and(first, met), final)
+                l_fin = jnp.where(set_fin, loss, l_fin)
+                g_fin = jnp.where(set_fin, grad, g_fin)
+                a_fin = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(set_fin, new, old), aux, a_fin
+                )
+
+                # refinement continues while the latest eval misses the
+                # threshold and the iteration budget remains (pipeline:501,
+                # 560-562), then one final forward
+                phase2 = jnp.where(
+                    first,
+                    jnp.where(met, PH_DONE, PH_REFINE),
+                    jnp.where(
+                        final,
+                        PH_DONE,
+                        jnp.where(
+                            jnp.logical_or(met, n_ref2 >= statics.max_refinement_steps),
+                            PH_FINAL,
+                            PH_REFINE,
+                        ),
+                    ),
+                )
+                return (phase2, n_ref2, v2, needs2, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, vel2)
 
             init = (
+                jnp.int32(PH_EVAL0),
                 jnp.int32(0),
                 var,
-                jnp.zeros((spec.n_groups,)),
                 jnp.asarray(False),
+                zero_eval_aux(),
                 jnp.zeros(()),
                 zero_grad(),
                 zero_eval_aux(),
@@ -341,46 +370,19 @@ def build_generate_raw(
                 jnp.zeros_like(var),
             )
             (
-                n_evals,
+                _phase,
+                refine_iters,
                 var1,
-                _gu,
                 needs_refine,
-                loss0,
-                grad0,
                 aux0,
+                loss1,
+                grad1,
+                aux1,
                 eval_buf,
                 eval_mask,
                 eval_maps,
                 _vel,
             ) = jax.lax.while_loop(loop_cond, loop_body, init)
-            refine_iters = n_evals - 1  # bodies after eval0
-
-            def do_final(v):
-                # final fresh forward after refinement, no update
-                # (pipeline:564-578)
-                (loss_f, aux_f), grad_f = guidance_eval(latents, t, gate, v)
-                return loss_f, aux_f, grad_f
-
-            def no_final(v):
-                return loss0, aux0, grad0
-
-            loss1, aux1, grad1 = jax.lax.cond(needs_refine, do_final, no_final, var1)
-            eval_buf = jnp.where(
-                needs_refine,
-                jax.lax.dynamic_update_index_in_dim(eval_buf, aux1["unscaled_tok"], R_sub - 1, 0),
-                eval_buf,
-            )
-            eval_mask = jnp.where(
-                needs_refine,
-                jax.lax.dynamic_update_index_in_dim(eval_mask, jnp.asarray(True), R_sub - 1, 0),
-                eval_mask,
-            )
-            if statics.capture_eval_maps:
-                eval_maps = jnp.where(
-                    needs_refine,
-                    jax.lax.dynamic_update_index_in_dim(eval_maps, aux1["probs16"], R_sub - 1, 0),
-                    eval_maps,
-                )
 
             # gradient update gate (pipeline:998-1007); meets_threshold(-1,...)
             # uses the LAST threshold value (pipeline:1083) and — reference
