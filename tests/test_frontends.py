@@ -100,6 +100,36 @@ def test_vis_overlays(artifacts, tmp_path):
     assert pil.size[0] > 0
 
 
+def test_hyperparam_sweep_states():
+    """Grid expansion semantics (reference shared_state.py:21-36: base
+    overrides composed with per-iteration overrides)."""
+    from guided_attention_tpu.config import HyperParams, get_hyperparam_states
+
+    states = get_hyperparam_states(
+        HyperParams(), [{}, {"recurse_steps": 1, "strict": True}]
+    )
+    assert len(states) == 2
+    assert states[0].recurse_steps == 3 and not states[0].strict
+    assert states[1].recurse_steps == 1 and states[1].strict
+    assert states[0].thresholds == {0: 1.0}  # base override kept
+
+
+def test_execute_hyperparam_sweep(artifacts, tmp_path):
+    """One seed x two hyperparameter states -> two artifacts whose filenames
+    carry the state suffix (reference run.py:97-127 inner loop)."""
+    config, pipe, out_dir, path = artifacts
+    import dataclasses as dc
+
+    cfg = dc.replace(config, output_path=tmp_path, seeds=[5])
+    cli.execute(cfg, pipe, hyperparam_iterations=[{}, {"recurse_steps": 1}])
+    run_dir = [p for p in tmp_path.iterdir() if p.is_dir()][0]
+    finals = [p.name for p in run_dir.glob("5*.png") if "figure" not in p.name]
+    assert len(finals) >= 2
+    assert any("recurse_steps.1" in n or "recurse_steps_1" in n or "1" in n for n in finals)
+    # the two states produce distinct filenames
+    assert len(set(finals)) == len(finals)
+
+
 def test_web_ui_affordances():
     """The UI ships every interaction of the reference web_ui.html:199-845:
     output-canvas annotation overlay (toggle), per-annotation delete/redraw,

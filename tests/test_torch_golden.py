@@ -421,6 +421,26 @@ def test_vae_decoder_matches_torch(converted):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_safetensors_load_path(converted, tmp_path):
+    """The safetensors branch of _load_state_dict yields the same params as
+    the torch.bin branch (safetensors is the preferred format on disk)."""
+    safetensors = pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    bundle, sds = converted
+    sd = {k: v.numpy() for k, v in sds["unet"].items()}
+    d = tmp_path / "unet"
+    d.mkdir()
+    save_file(sd, d / "diffusion_pytorch_model.safetensors")
+
+    from guided_attention_tpu.models.convert import load_component_params
+
+    params = load_component_params(str(tmp_path), "unet", bundle.params["unet"])
+    got = jax.tree_util.tree_leaves(params)
+    want = jax.tree_util.tree_leaves(bundle.params["unet"])
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+
 def test_vae_encoder_matches_torch(converted):
     bundle, sds = converted
     sd = sds["vae"]
