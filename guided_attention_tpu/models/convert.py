@@ -158,3 +158,38 @@ def load_component_params(
 ) -> Dict[str, Any]:
     sd = _load_state_dict(os.path.join(checkpoint_dir, subfolder))
     return convert_state_dict(sd, flax_params, subfolder)
+
+
+def main(argv=None):
+    """Offline converter CLI: diffusers checkpoint dir -> native msgpack.
+
+    Usage: python -m guided_attention_tpu.models.convert <hf_dir> <out_dir>
+           [--model sd15|sd21] [--dtype bfloat16|float32]
+
+    Afterwards `StableDiffusion.create(model, checkpoint_dir=<out_dir>)`
+    starts from a straight mmap-read instead of re-converting (the reference
+    pays diffusers from_pretrained on every process, reference run.py:28).
+    """
+    import argparse
+
+    import jax.numpy as jnp
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("hf_dir", help="diffusers-format checkpoint directory")
+    parser.add_argument("out_dir", help="output directory for native msgpack params")
+    parser.add_argument("--model", default="sd15", choices=["sd15", "sd14", "sd21", "micro"])
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = parser.parse_args(argv)
+
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.models.io import save_params
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    bundle = StableDiffusion.create(args.model, dtype=dtype, checkpoint_dir=args.hf_dir)
+    save_params(args.out_dir, bundle.params)
+    n = len(jax.tree_util.tree_leaves(bundle.params))
+    print(f"converted {n} tensors -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,10 @@ class UNetConfig:
     use_flash_attention: bool = False
     flash_min_seq: int = 2048
     dtype: Any = jnp.float32
+    # dtype for GroupNorm/LayerNorm compute. fp32 is the conservative
+    # default; bf16 removes the up/down-casts around every norm (the
+    # reference's fp16 mode runs torch norms in fp16, README.md:33)
+    norm_dtype: Any = jnp.float32
 
 
 def timestep_embedding(t: jax.Array, dim: int, flip_sin_to_cos: bool = True, freq_shift: int = 0):
@@ -85,16 +89,17 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
@@ -151,17 +156,18 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     use_flash_self: bool = False
     use_flash_cross: bool = False
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, capture_self=False, capture_cross=False, capture_cross_perhead=False, pww_mask=None, pww_gate=None):
         h, self_map = CrossAttention(
             self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_self, name="attn1"
-        )(nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype), None, capture=capture_self)
+        )(nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype), None, capture=capture_self)
         x = x + h
         h, cross_map = CrossAttention(
             self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_cross, name="attn2"
         )(
-            nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype),
+            nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype),
             context,
             capture=capture_cross,
             capture_perhead=capture_cross_perhead,
@@ -170,7 +176,7 @@ class BasicTransformerBlock(nn.Module):
         )
         x = x + h
         x = x + FeedForward(self.dim, self.dtype, name="ff")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+            nn.LayerNorm(dtype=self.norm_dtype, name="norm3")(x).astype(self.dtype)
         )
         return x, self_map, cross_map
 
@@ -185,6 +191,7 @@ class Transformer2D(nn.Module):
     dtype: Any = jnp.float32
     use_flash_self: bool = False
     use_flash_cross: bool = False
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, capture: CaptureSpec, pww=None, pww_gate=None):
@@ -197,7 +204,7 @@ class Transformer2D(nn.Module):
         pww_mask = pww.get(res) if pww else None
 
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.norm_dtype, name="norm")(x).astype(self.dtype)
         if self.use_linear_projection:
             h = h.reshape(b, hgt * wdt, c)
             h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
@@ -211,6 +218,7 @@ class Transformer2D(nn.Module):
             self.dtype,
             self.use_flash_self,
             self.use_flash_cross,
+            self.norm_dtype,
             name="transformer_blocks_0",
         )(h, context, capture_self, capture_cross, capture_cross_ph, pww_mask, pww_gate)
         if self.use_linear_projection:
@@ -291,7 +299,7 @@ class UNet2DCondition(nn.Module):
         for i, out_ch in enumerate(cfg.block_out_channels):
             has_attn = cfg.attn_down[i]
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dtype, name=f"down_blocks_{i}_resnets_{j}")(h, temb)
+                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dtype, norm_dtype=cfg.norm_dtype, name=f"down_blocks_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     h, sm, cm = Transformer2D(
                         cfg.num_heads[i],
@@ -301,6 +309,7 @@ class UNet2DCondition(nn.Module):
                         dtype,
                         cfg.use_flash_attention and (h.shape[1] * h.shape[2]) >= cfg.flash_min_seq,
                         cfg.use_flash_attention,
+                        norm_dtype=cfg.norm_dtype,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, ctx, capture, pww, pww_gate)
                     collect("down", sm, cm)
@@ -319,7 +328,7 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dtype, name="mid_block_resnets_0")(h, temb)
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dtype, norm_dtype=cfg.norm_dtype, name="mid_block_resnets_0")(h, temb)
         h, sm, cm = Transformer2D(
             cfg.num_heads[-1],
             mid_ch // cfg.num_heads[-1],
@@ -328,10 +337,11 @@ class UNet2DCondition(nn.Module):
             dtype,
             False,
             cfg.use_flash_attention,
-            name="mid_block_attentions_0",
+            norm_dtype=cfg.norm_dtype,
+                        name="mid_block_attentions_0",
         )(h, ctx, capture, pww, pww_gate)
         collect("mid", sm, cm)
-        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dtype, name="mid_block_resnets_1")(h, temb)
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=dtype, norm_dtype=cfg.norm_dtype, name="mid_block_resnets_1")(h, temb)
 
         # --- up ---
         rev_ch = list(reversed(cfg.block_out_channels))
@@ -343,7 +353,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = res_samples.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dtype, name=f"up_blocks_{i}_resnets_{j}")(h, temb)
+                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=dtype, norm_dtype=cfg.norm_dtype, name=f"up_blocks_{i}_resnets_{j}")(h, temb)
                 if has_attn:
                     h, sm, cm = Transformer2D(
                         rev_heads[i],
@@ -353,13 +363,14 @@ class UNet2DCondition(nn.Module):
                         dtype,
                         cfg.use_flash_attention and (h.shape[1] * h.shape[2]) >= cfg.flash_min_seq,
                         cfg.use_flash_attention,
+                        norm_dtype=cfg.norm_dtype,
                         name=f"up_blocks_{i}_attentions_{j}",
                     )(h, ctx, capture, pww, pww_gate)
                     collect("up", sm, cm)
             if i != n_blocks - 1:
                 h = Upsample2D(out_ch, dtype, name=f"up_blocks_{i}_upsamplers_0")(h)
 
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out")(h)
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-5, dtype=cfg.norm_dtype, name="conv_norm_out")(h)
         h = nn.silu(h).astype(dtype)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dtype, name="conv_out")(h)
 

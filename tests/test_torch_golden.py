@@ -441,6 +441,32 @@ def test_safetensors_load_path(converted, tmp_path):
     assert all(np.array_equal(a, b) for a, b in zip(got, want))
 
 
+def test_convert_cli_to_native_checkpoint(converted, tmp_path_factory, tmp_path):
+    """python -m guided_attention_tpu.models.convert <hf> <out> writes a
+    native msgpack checkpoint that loads back identical params."""
+    bundle, _sds = converted
+    # the module-scoped fixture wrote the checkpoint under tmp_path_factory;
+    # recover it from any component subfolder's parent
+    import glob
+    from pathlib import Path
+
+    hits = glob.glob(str(tmp_path_factory.getbasetemp() / "sd_ckpt*" / "unet"))
+    assert hits
+    hf_dir = str(Path(hits[0]).parent)
+
+    from guided_attention_tpu.models import convert as convert_mod
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.models.io import is_native_checkpoint
+
+    out_dir = tmp_path / "native"
+    convert_mod.main([hf_dir, str(out_dir), "--model", "micro", "--dtype", "float32"])
+    assert is_native_checkpoint(str(out_dir))
+    reloaded = StableDiffusion.create("micro", dtype=jnp.float32, checkpoint_dir=str(out_dir))
+    a = jax.tree_util.tree_leaves(bundle.params)
+    b = jax.tree_util.tree_leaves(reloaded.params)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
 def test_vae_encoder_matches_torch(converted):
     bundle, sds = converted
     sd = sds["vae"]
