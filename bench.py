@@ -57,7 +57,9 @@ def main():
         )
 
     t0 = time.time()
-    out = run(28)
+    # warmup seed differs from every timed seed: the tunnel caches identical
+    # executions, which would let times[0] read artificially fast
+    out = run(99)
     warm_s = time.time() - t0
 
     # min over repetitions: the remote-tunnel host adds multi-second jitter

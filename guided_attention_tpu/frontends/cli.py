@@ -42,9 +42,9 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
         arg = f"--{f.name}"
         if f.type in ("bool", bool):
             parser.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"), default=default)
-        elif f.type in ("int", int):
+        elif f.type in ("int", int, "Optional[int]"):
             parser.add_argument(arg, type=int, default=default)
-        elif f.type in ("float", float):
+        elif f.type in ("float", float, "Optional[float]"):
             parser.add_argument(arg, type=float, default=default)
         elif f.name == "seeds":
             parser.add_argument(arg, type=int, nargs="+", default=default)

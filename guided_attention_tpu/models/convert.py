@@ -187,6 +187,13 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     bundle = StableDiffusion.create(args.model, dtype=dtype, checkpoint_dir=args.hf_dir)
     save_params(args.out_dir, bundle.params)
+    # carry the tokenizer along so the converted dir is a full drop-in
+    # (otherwise load_tokenizer silently falls back to SimpleTokenizer)
+    tok_src = os.path.join(args.hf_dir, "tokenizer")
+    if os.path.isdir(tok_src):
+        import shutil
+
+        shutil.copytree(tok_src, os.path.join(args.out_dir, "tokenizer"), dirs_exist_ok=True)
     n = len(jax.tree_util.tree_leaves(bundle.params))
     print(f"converted {n} tensors -> {args.out_dir}")
 

@@ -162,13 +162,16 @@ _flash_bh.defvjp(_flash_bh_fwd, _flash_bh_bwd)
 
 
 def flash_attention(
-    q, k, v, scale: Optional[float] = None, block_q: int = 512, block_q_bwd: int = 128
+    q, k, v, scale: Optional[float] = None, block_q: int = 512, block_q_bwd: int = 64
 ):
     """Self-attention over [B, H, N, D] without HBM score materialization.
 
     Differentiable (custom VJP). The backward uses a smaller query block —
     it keeps three fp32 [block, N] intermediates live (p, dp, ds) plus the
-    fp32 dK/dV accumulators, and must fit the ~16 MB VMEM budget.
+    fp32 dK/dV accumulators, and must fit the ~16 MB VMEM budget. 64 leaves
+    headroom for the extra grid dim Pallas adds when the caller vmaps the
+    whole program (the sharded batch engine); 128 overflowed scoped VMEM by
+    ~0.1 MB there.
     """
     b, h, n, d = q.shape
     if scale is None:

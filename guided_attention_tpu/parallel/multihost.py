@@ -29,6 +29,12 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def _allgather_to_numpy(tree):
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(np.asarray, multihost_utils.process_allgather(tree))
+
+
 def to_host(tree):
     """Materialize a (possibly globally sharded) array pytree on this host.
 
@@ -38,20 +44,14 @@ def to_host(tree):
     primary sees all samples (runner.generate_batch routes its outputs
     through this)."""
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        return jax.tree_util.tree_map(
-            np.asarray, multihost_utils.process_allgather(tree)
-        )
+        return _allgather_to_numpy(tree)
     return jax.device_get(tree)
 
 
 def gather_to_host(x) -> np.ndarray:
     """All-gather a globally sharded array's data onto every host as numpy
     (DCN collective; used to collect per-seed images for artifact output)."""
-    from jax.experimental import multihost_utils
-
-    return np.asarray(multihost_utils.process_allgather(x))
+    return _allgather_to_numpy(x)
 
 
 def local_batch_slice(global_batch: int) -> slice:

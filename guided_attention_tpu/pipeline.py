@@ -339,10 +339,12 @@ def build_generate_raw(
 
                 # refinement continues while the latest eval misses the
                 # threshold and the iteration budget remains (pipeline:501,
-                # 560-562), then one final forward
+                # 560-562), then one final forward; a zero budget skips
+                # straight to the final forward without any update
+                after_eval0 = PH_REFINE if statics.max_refinement_steps > 0 else PH_FINAL
                 phase2 = jnp.where(
                     first,
-                    jnp.where(met, PH_DONE, PH_REFINE),
+                    jnp.where(met, PH_DONE, after_eval0),
                     jnp.where(
                         final,
                         PH_DONE,

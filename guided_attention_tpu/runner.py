@@ -47,6 +47,7 @@ class GuidedAttentionPipeline:
         self._generate_cache: Dict[Any, Any] = {}
         self._batch_cache: Dict[Any, Any] = {}
         self._prepare_cache: Dict[Any, Any] = {}
+        self._registry_version = 0
         self._encode = jax.jit(
             lambda p, ids: self.sd.text_encoder.apply({"params": p}, ids)
         )
@@ -62,9 +63,24 @@ class GuidedAttentionPipeline:
             lambda seed: jax.random.split(jax.random.PRNGKey(seed))
         )
 
+        # batch init: same per-seed derivation as the single-sample path
+        # (PRNGKey -> split -> normal), one compiled call for all seeds
+        def _batch_init(seeds):
+            def one(seed):
+                ki, kr = jax.random.split(jax.random.PRNGKey(seed))
+                lat = jax.random.normal(
+                    ki, (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels), jnp.float32
+                ).astype(cfg.unet.dtype)
+                return lat, kr
+            return jax.vmap(one)(seeds)
+
+        self._batch_init_jit = jax.jit(_batch_init)
+
     def register_custom_loss(self, name: str, loss) -> None:
         """(reference run.py:229-232)"""
         self.registry.register(name, loss)
+        # prepared specs bake in the registry contents; invalidate
+        self._registry_version += 1
 
     # ------------------------------------------------------------------
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
@@ -122,6 +138,7 @@ class GuidedAttentionPipeline:
         cache_key = None
         if annotations is None:
             cache_key = (
+                self._registry_version,
                 meta_prompt, prompt,
                 self._hp_key(hp) if hp is not None else None,
                 num_inference_steps, guidance_scale, max_iter_to_alter,
@@ -146,6 +163,8 @@ class GuidedAttentionPipeline:
             capture_diagnostics,
         )
         if cache_key is not None:
+            if len(self._prepare_cache) >= 64:  # bound device-array residency
+                self._prepare_cache.pop(next(iter(self._prepare_cache)))
             self._prepare_cache[cache_key] = prepared
         return prepared
 
@@ -348,9 +367,9 @@ class GuidedAttentionPipeline:
             n_dev = len(jax.devices())
             data = max(d for d in range(1, min(n_dev, len(seeds)) + 1) if len(seeds) % d == 0)
             mesh = make_mesh({"data": data})
-        keys = [jax.random.split(jax.random.PRNGKey(s)) for s in seeds]
-        latents0 = jnp.stack([self._init_latents(k[0]) for k in keys])
-        run_keys = jnp.stack([k[1] for k in keys])
+        # one compiled call instead of eager PRNGKey/split/normal per seed
+        # (each eager op costs a tunnel roundtrip on remote-attached TPUs)
+        latents0, run_keys = self._batch_init_jit(jnp.asarray(seeds, jnp.int32))
 
         hp_key = self._hp_key(hp)
         cache_key = (statics, hp_key, tuple(mesh.shape.items()))

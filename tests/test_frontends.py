@@ -50,6 +50,11 @@ def test_cli_arg_parsing():
     assert cfg.thresholds == {0: 0.5, 3: 0.8}
     assert cfg.run_standard_sd is True
 
+    # Optional[int] fields must parse as ints (postponed annotations make
+    # f.type the STRING 'Optional[int]')
+    cfg2 = cli.parse_args(["--num_processes", "2", "--process_id", "0"])
+    assert cfg2.num_processes == 2 and cfg2.process_id == 0
+
 
 def test_execute_writes_artifact_tree(artifacts):
     config, pipe, out_dir, path = artifacts
