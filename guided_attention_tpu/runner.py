@@ -23,9 +23,16 @@ from guided_attention_tpu.pipeline import (
     GenStatics,
     StepDiag,
     build_generate,
+    build_generate_raw,
     make_step_arrays,
 )
 from guided_attention_tpu.schedulers.ddim import make_ddim_schedule
+
+
+def _seed_u32(seed) -> jnp.ndarray:
+    """Seeds up to 2^32-2 (the reference GUI range, gui.py:29) overflow an
+    int32 jit argument; uint32 is bit-identical to the int path for < 2^31."""
+    return jnp.uint32(int(seed) & 0xFFFFFFFF)
 
 
 @dataclasses.dataclass
@@ -45,6 +52,7 @@ class GuidedAttentionPipeline:
         self.sd = sd
         self.registry = registry or default_registry()
         self._generate_cache: Dict[Any, Any] = {}
+        self._fused_cache: Dict[Any, Any] = {}
         self._batch_cache: Dict[Any, Any] = {}
         self._prepare_cache: Dict[Any, Any] = {}
         self._registry_version = 0
@@ -104,6 +112,34 @@ class GuidedAttentionPipeline:
         if key not in self._generate_cache:
             self._generate_cache[key] = build_generate(self.sd, statics, hp)
         return self._generate_cache[key]
+
+    def _get_fused(self, statics: GenStatics, hp: HyperParams):
+        """seed -> (u8 image, final latents, diags) as ONE compiled program:
+        PRNG derivation, latent init, the guided scan, VAE decode, and uint8
+        quantization fused so the common generate-an-image call costs a single
+        dispatch (each separate jit call adds ~60 ms over a remote-attached
+        TPU tunnel)."""
+        key = (statics, self._hp_key(hp))
+        if key not in self._fused_cache:
+            raw = build_generate_raw(self.sd, statics, hp)
+            sd = self.sd
+            cfg = sd.config
+
+            def fused(params, emb, seed, spec, sched, arrays):
+                key_init, key_run = jax.random.split(jax.random.PRNGKey(seed))
+                lat0 = jax.random.normal(
+                    key_init,
+                    (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels),
+                    jnp.float32,
+                ).astype(cfg.unet.dtype)
+                final, diags = raw(params, emb, lat0, spec, sched, arrays, key_run)
+                img = jnp.round(
+                    sd._decode_fn(params["vae"], final).astype(jnp.float32) * 255.0
+                ).astype(jnp.uint8)
+                return img, final, diags
+
+            self._fused_cache[key] = jax.jit(fused)
+        return self._fused_cache[key]
 
     # ------------------------------------------------------------------
     def _prepare(
@@ -281,21 +317,28 @@ class GuidedAttentionPipeline:
             capture_eval_maps, capture_diagnostics,
         )
 
-        keys = self._seed_keys_jit(seed)
-        key_init, key_run = keys[0], keys[1]
-        if latents is None:
-            latents = self._init_latents(key_init)
+        if decode and latents is None:
+            # common path (CLI/GUI/bench): everything from PRNG derivation to
+            # uint8 image in one dispatch
+            fused = self._get_fused(statics, hp)
+            img_u8, final_latents, diags = fused(
+                self.sd.params, emb, _seed_u32(seed), spec, sched, arrays
+            )
         else:
-            # generate() donates its latents argument; never invalidate a
-            # user-supplied buffer
-            latents = jnp.array(latents, copy=True)
+            keys = self._seed_keys_jit(_seed_u32(seed))
+            key_init, key_run = keys[0], keys[1]
+            if latents is None:
+                latents = self._init_latents(key_init)
+            else:
+                # generate() donates its latents argument; never invalidate a
+                # user-supplied buffer
+                latents = jnp.array(latents, copy=True)
 
-        generate = self._get_generate(statics, hp)
-        final_latents, diags = generate(
-            self.sd.params, emb, latents, spec, sched, arrays, key_run
-        )
-
-        img_u8 = self.sd.decode_latents_u8(final_latents) if decode else None
+            generate = self._get_generate(statics, hp)
+            final_latents, diags = generate(
+                self.sd.params, emb, latents, spec, sched, arrays, key_run
+            )
+            img_u8 = self.sd.decode_latents_u8(final_latents) if decode else None
         # ONE batched device->host pull: per-leaf np.asarray costs a tunnel
         # roundtrip per StepDiag field (~0.6 s/image on remote TPUs)
         img_u8, final_np, diags_np = jax.device_get((img_u8, final_latents, diags))
@@ -369,7 +412,9 @@ class GuidedAttentionPipeline:
             mesh = make_mesh({"data": data})
         # one compiled call instead of eager PRNGKey/split/normal per seed
         # (each eager op costs a tunnel roundtrip on remote-attached TPUs)
-        latents0, run_keys = self._batch_init_jit(jnp.asarray(seeds, jnp.int32))
+        latents0, run_keys = self._batch_init_jit(
+            jnp.asarray([int(s) & 0xFFFFFFFF for s in seeds], jnp.uint32)
+        )
 
         hp_key = self._hp_key(hp)
         cache_key = (statics, hp_key, tuple(mesh.shape.items()))

@@ -1,0 +1,89 @@
+"""Time the SD1.5 UNet batch-2 CFG forward on the TPU.
+
+Chains N forwards inside one jitted lax.scan so the measurement is pure
+device time (per-call dispatch over the remote tunnel is ~60 ms and the
+tunnel caches identical executions; a scan with a carried latent defeats
+both). Compare attention variants:
+
+  python scripts/perf_unet.py            # flash self-attention (default cfg)
+  python scripts/perf_unet.py --noflash  # einsum everywhere
+  python scripts/perf_unet.py --norm_bf16
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+)
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+N = 20
+
+
+def main():
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.models.unet import UNet2DCondition
+
+    t0 = time.time()
+    sd = StableDiffusion.create("sd15", dtype=jnp.bfloat16)
+    print(f"build {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ucfg = sd.config.unet
+    if "--noflash" in sys.argv:
+        ucfg = dataclasses.replace(ucfg, use_flash_attention=False)
+    if "--norm_bf16" in sys.argv:
+        ucfg = dataclasses.replace(ucfg, norm_dtype=jnp.bfloat16)
+    if "--flash_all" in sys.argv:  # flash at every self-attn resolution
+        ucfg = dataclasses.replace(ucfg, flash_min_seq=256)
+    unet = UNet2DCondition(ucfg)
+    params = sd.params["unet"]
+
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 768), jnp.bfloat16)
+
+    def chain(p, x, c):
+        def body(h, i):
+            eps, _ = unet.apply({"params": p}, h, jnp.int32(500) - i, c)
+            return eps.astype(h.dtype), ()
+
+        out, _ = jax.lax.scan(body, x, jnp.arange(N, dtype=jnp.int32))
+        return out
+
+    fwd = jax.jit(chain)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 4), jnp.bfloat16)
+
+    t0 = time.time()
+    jax.device_get(fwd(params, x, ctx))
+    print(f"compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # block_until_ready does NOT block over the axon tunnel; force a
+    # device->host pull (65 KB, ~30 ms) to end the timing
+    xs = jax.device_get(
+        jax.jit(lambda k: jax.random.normal(k, (5, 2, 64, 64, 4), jnp.bfloat16))(
+            jax.random.PRNGKey(2)
+        )
+    )
+    times = []
+    for i in range(5):
+        xi = jnp.asarray(xs[i])  # vary inputs: the tunnel caches identical runs
+        t0 = time.time()
+        jax.device_get(fwd(params, xi, ctx))
+        times.append(time.time() - t0)
+    best = min(times)
+    tag = " ".join(a for a in sys.argv[1:]) or "default"
+    print(f"[{tag}] {best*1000/N:.2f} ms/fwd (batch-2 CFG), wall {[round(t,3) for t in times]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,14 @@ def test_deterministic_and_seed_sensitivity(pipe, guided_out):
     assert not np.array_equal(guided_out.latents, out_c.latents)
 
 
+def test_gui_range_seed(pipe, guided_out):
+    """Seeds up to 2^32-2 (the reference GUI draws randrange(4294967294),
+    gui.py:29) must not overflow the jitted int32 seed argument."""
+    out = pipe(meta_prompt=META, seed=2**32 - 3, num_inference_steps=4, thresholds={0: 0.5})
+    assert np.isfinite(out.latents).all()
+    assert not np.array_equal(out.latents, guided_out.latents)
+
+
 def test_guidance_changes_output_vs_standard(pipe, guided_out):
     std = pipe(meta_prompt=META, seed=1, num_inference_steps=4, run_standard_sd=True)
     assert not np.array_equal(guided_out.latents, std.latents)
