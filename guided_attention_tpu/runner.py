@@ -427,14 +427,21 @@ class GuidedAttentionPipeline:
             final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
             final, diags = to_host((final, diags))
 
+        batch_images = None
+        if decode:
+            # ONE batched decode dispatch for the whole seed batch (a per-seed
+            # decode costs a dispatch + pull each, ~0.1 s/seed on remote TPUs)
+            B = final.shape[0]
+            flat = jnp.asarray(final.reshape((B,) + final.shape[2:]))
+            batch_images = np.asarray(
+                jax.device_get(self.sd.decode_latents_u8(flat))
+            ).astype(np.float32) / 255.0
+
         outputs = []
         for b, seed in enumerate(seeds):
             images = None
             if decode:
-                images = (
-                    np.asarray(self.sd.decode_latents_u8(jnp.asarray(final[b]))).astype(np.float32)
-                    / 255.0
-                )
+                images = batch_images[b : b + 1]
             outputs.append(
                 PipelineOutput(
                     images=images,

@@ -1,0 +1,65 @@
+"""Amortized sec/image for the sharded/vmapped seed-batch engine on the
+current device set (BASELINE.json config 5: '8 seeds/batch multi-prompt
+generation'). On one chip the batch rides vmap; on a mesh it shards over
+the data axis.
+
+  python scripts/perf_batch.py [batch_size ...]   (default: 4 8)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+META = "a [robot:.6,.3,.4,.55] and a [blue vase:0,.3,.4,.55]"
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [4, 8]
+
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+    t0 = time.time()
+    sd = StableDiffusion.create("sd15", dtype=jnp.bfloat16)
+    pipe = GuidedAttentionPipeline(sd)
+    print(f"build {time.time()-t0:.1f}s", file=sys.stderr)
+
+    for B in sizes:
+        try:
+            t0 = time.time()
+            pipe.generate_batch(
+                list(range(100, 100 + B)), meta_prompt=META, capture_diagnostics=False
+            )
+            warm = time.time() - t0
+            times = []
+            for rep in range(3):
+                seeds = list(range(200 + rep * B, 200 + (rep + 1) * B))
+                t0 = time.time()
+                outs = pipe.generate_batch(seeds, meta_prompt=META, capture_diagnostics=False)
+                times.append(time.time() - t0)
+            best = min(times)
+            assert outs[0].images is not None
+            print(
+                f"batch {B}: {best/B:.3f} s/image amortized "
+                f"({best:.2f} s/batch, warmup {warm:.1f}s, walls {[round(t,2) for t in times]})"
+            )
+        except Exception as e:
+            print(f"batch {B}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,11 @@ def test_batch_matches_single_standard_sd(pipe):
         [1, 2, 3, 4], meta_prompt="a dog", mesh=mesh, num_inference_steps=2, run_standard_sd=True
     )
     assert len(outs) == 4
+    # decode is ONE batched dispatch; each output still carries [1,H,W,3]
+    for o in outs:
+        assert o.images.shape == (1, 128, 128, 3)
+        assert np.isfinite(o.images).all()
+    assert not np.array_equal(outs[0].images, outs[1].images)
     single = pipe(meta_prompt="a dog", seed=1, num_inference_steps=2, run_standard_sd=True)
     np.testing.assert_allclose(outs[0].latents, single.latents, atol=1e-4)
     assert not np.array_equal(outs[0].latents, outs[1].latents)
