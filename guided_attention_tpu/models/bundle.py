@@ -114,13 +114,16 @@ class StableDiffusion:
             self._decode_jit = jax.jit(self._decode_fn)
         return self._decode_jit(self.params["vae"], latents_nhwc)
 
+    def _decode_u8_fn(self, params, latents_nhwc):
+        """Traceable decode + uint8 quantization — the one definition shared
+        by decode_latents_u8 and the runner's fused generate program."""
+        return jnp.round(
+            self._decode_fn(params, latents_nhwc).astype(jnp.float32) * 255.0
+        ).astype(jnp.uint8)
+
     def decode_latents_u8(self, latents_nhwc: jnp.ndarray) -> jnp.ndarray:
         """decode_latents quantized to uint8 on-device — 12x less host
         transfer than fp32 images on remote-attached TPUs."""
         if self._decode_u8_jit is None:
-            self._decode_u8_jit = jax.jit(
-                lambda p, z: jnp.round(
-                    self._decode_fn(p, z).astype(jnp.float32) * 255.0
-                ).astype(jnp.uint8)
-            )
+            self._decode_u8_jit = jax.jit(self._decode_u8_fn)
         return self._decode_u8_jit(self.params["vae"], latents_nhwc)

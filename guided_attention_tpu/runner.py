@@ -29,10 +29,25 @@ from guided_attention_tpu.pipeline import (
 from guided_attention_tpu.schedulers.ddim import make_ddim_schedule
 
 
-def _seed_u32(seed) -> jnp.ndarray:
+def _mask_seed(seed) -> int:
     """Seeds up to 2^32-2 (the reference GUI range, gui.py:29) overflow an
     int32 jit argument; uint32 is bit-identical to the int path for < 2^31."""
-    return jnp.uint32(int(seed) & 0xFFFFFFFF)
+    return int(seed) & 0xFFFFFFFF
+
+
+def _seed_u32(seed) -> jnp.ndarray:
+    return jnp.uint32(_mask_seed(seed))
+
+
+def _derive_seed(cfg, seed):
+    """seed -> (init latents, run key). The ONE definition of seed semantics
+    (PRNGKey -> split -> seeded normal), shared by the fused, non-fused, and
+    batch paths so they can never drift apart."""
+    key_init, key_run = jax.random.split(jax.random.PRNGKey(seed))
+    lat0 = jax.random.normal(
+        key_init, (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels), jnp.float32
+    ).astype(cfg.unet.dtype)
+    return lat0, key_run
 
 
 @dataclasses.dataclass
@@ -61,28 +76,11 @@ class GuidedAttentionPipeline:
         )
         cfg = sd.config
         # eager random.normal / PRNGKey / split each cost a host<->device
-        # roundtrip on remote-attached TPUs; jit them like everything else
-        self._init_latents_jit = jax.jit(
-            lambda key: jax.random.normal(
-                key, (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels), jnp.float32
-            ).astype(cfg.unet.dtype)
-        )
-        self._seed_keys_jit = jax.jit(
-            lambda seed: jax.random.split(jax.random.PRNGKey(seed))
-        )
-
-        # batch init: same per-seed derivation as the single-sample path
-        # (PRNGKey -> split -> normal), one compiled call for all seeds
-        def _batch_init(seeds):
-            def one(seed):
-                ki, kr = jax.random.split(jax.random.PRNGKey(seed))
-                lat = jax.random.normal(
-                    ki, (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels), jnp.float32
-                ).astype(cfg.unet.dtype)
-                return lat, kr
-            return jax.vmap(one)(seeds)
-
-        self._batch_init_jit = jax.jit(_batch_init)
+        # roundtrip on remote-attached TPUs; jit them like everything else.
+        # Single-sample and batch init share _derive_seed verbatim.
+        derive = lambda seed: _derive_seed(cfg, seed)  # noqa: E731
+        self._derive_jit = jax.jit(derive)
+        self._batch_init_jit = jax.jit(jax.vmap(derive))
 
     def register_custom_loss(self, name: str, loss) -> None:
         """(reference run.py:229-232)"""
@@ -126,16 +124,9 @@ class GuidedAttentionPipeline:
             cfg = sd.config
 
             def fused(params, emb, seed, spec, sched, arrays):
-                key_init, key_run = jax.random.split(jax.random.PRNGKey(seed))
-                lat0 = jax.random.normal(
-                    key_init,
-                    (1, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels),
-                    jnp.float32,
-                ).astype(cfg.unet.dtype)
+                lat0, key_run = _derive_seed(cfg, seed)
                 final, diags = raw(params, emb, lat0, spec, sched, arrays, key_run)
-                img = jnp.round(
-                    sd._decode_fn(params["vae"], final).astype(jnp.float32) * 255.0
-                ).astype(jnp.uint8)
+                img = sd._decode_u8_fn(params["vae"], final)
                 return img, final, diags
 
             self._fused_cache[key] = jax.jit(fused)
@@ -276,9 +267,6 @@ class GuidedAttentionPipeline:
         emb = self.encode_prompt(prompt, negative_prompt)
         return hp, prompt, annotations, spec, statics, sched, arrays, emb
 
-    def _init_latents(self, key):
-        return self._init_latents_jit(key)
-
     def __call__(
         self,
         meta_prompt: Optional[str] = None,
@@ -325,10 +313,9 @@ class GuidedAttentionPipeline:
                 self.sd.params, emb, _seed_u32(seed), spec, sched, arrays
             )
         else:
-            keys = self._seed_keys_jit(_seed_u32(seed))
-            key_init, key_run = keys[0], keys[1]
+            lat0, key_run = self._derive_jit(_seed_u32(seed))
             if latents is None:
-                latents = self._init_latents(key_init)
+                latents = lat0
             else:
                 # generate() donates its latents argument; never invalidate a
                 # user-supplied buffer
@@ -413,7 +400,7 @@ class GuidedAttentionPipeline:
         # one compiled call instead of eager PRNGKey/split/normal per seed
         # (each eager op costs a tunnel roundtrip on remote-attached TPUs)
         latents0, run_keys = self._batch_init_jit(
-            jnp.asarray([int(s) & 0xFFFFFFFF for s in seeds], jnp.uint32)
+            jnp.asarray([_mask_seed(s) for s in seeds], jnp.uint32)
         )
 
         hp_key = self._hp_key(hp)
@@ -441,7 +428,9 @@ class GuidedAttentionPipeline:
         for b, seed in enumerate(seeds):
             images = None
             if decode:
-                images = batch_images[b : b + 1]
+                # copy: a view would alias every output to one batch buffer
+                # (in-place annotation of one image would corrupt the rest)
+                images = batch_images[b : b + 1].copy()
             outputs.append(
                 PipelineOutput(
                     images=images,

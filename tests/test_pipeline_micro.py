@@ -57,6 +57,15 @@ def test_deterministic_and_seed_sensitivity(pipe, guided_out):
     assert not np.array_equal(guided_out.latents, out_c.latents)
 
 
+def test_fused_matches_unfused_path(pipe, guided_out):
+    """The fused program (decode inside, runner._get_fused) and the non-fused
+    path (decode=False) share _derive_seed, so same-seed latents must match
+    exactly — pins the two PRNG/init derivations together."""
+    out = pipe(meta_prompt=META, seed=1, num_inference_steps=4, thresholds={0: 0.5}, decode=False)
+    assert out.images is None
+    assert np.array_equal(out.latents, guided_out.latents)
+
+
 def test_gui_range_seed(pipe, guided_out):
     """Seeds up to 2^32-2 (the reference GUI draws randrange(4294967294),
     gui.py:29) must not overflow the jitted int32 seed argument."""
