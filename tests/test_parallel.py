@@ -60,8 +60,9 @@ def test_multihost_helpers_single_process():
     np.testing.assert_array_equal(multihost.to_host(sharded), np.asarray(x))
 
 
-def test_batch_guided_over_dp_tp_mesh(pipe):
-    mesh = make_mesh({"data": 2, "tensor": 2})
+@pytest.mark.parametrize("shape", [{"data": 2, "tensor": 2}, {"data": 2, "tensor": 4}], ids=["tp2", "tp4"])
+def test_batch_guided_over_dp_tp_mesh(pipe, shape):
+    mesh = make_mesh(shape)
     outs = pipe.generate_batch(
         [5, 6], meta_prompt="a [dog:.2,.3] x", mesh=mesh, num_inference_steps=2, thresholds={0: 0.5}
     )
