@@ -123,6 +123,9 @@ class RunConfig:
     # ---- TPU-native additions (no reference counterpart) ----
     # Model checkpoint directory (converted or HF-format); None => random init
     model_path: Optional[str] = None
+    # Architecture preset override ("sd15", "sd21", "micro"); empty => pick
+    # from sd_2_1 like the reference's load_model (run.py:18-29)
+    model: str = ""
     # Skip guidance UNet passes on steps that can never update the latent
     # (output-equivalent fast path; the reference runs a wasted forward on
     # every step, pipeline:946)

@@ -60,3 +60,22 @@ def smooth_maps(
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(orig_shape)
+
+
+def average_smooth_maps(maps: jax.Array, kernel_size: int = 3) -> jax.Array:
+    """Depthwise box (average) filter — the reference defines an
+    AverageSmoothing module it never calls (reference
+    utils/gaussian_smoothing.py:74-119, VALID padding, kernel = ones/size^2);
+    kept for API completeness. [..., H, W] -> [..., H-k+1, W-k+1]."""
+    k = jnp.full((kernel_size, kernel_size), 1.0 / (kernel_size * kernel_size), maps.dtype)
+    h, w = maps.shape[-2:]
+    x = maps.reshape((-1, 1, h, w))
+    out = jax.lax.conv_general_dilated(
+        x,
+        k[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(maps.shape[:-2] + out.shape[-2:])

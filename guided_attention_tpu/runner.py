@@ -449,6 +449,6 @@ def pipeline_from_config(config: RunConfig, registry=None) -> GuidedAttentionPip
     run.py:18-29): SD1.x by default, SD2.1 with --sd_2_1, bf16 with
     --half_precision."""
     dtype = jnp.bfloat16 if config.half_precision or config.dtype == "bfloat16" else jnp.float32
-    model = "sd21" if config.sd_2_1 else "sd15"
+    model = config.model or ("sd21" if config.sd_2_1 else "sd15")
     sd = StableDiffusion.create(model, dtype=dtype, checkpoint_dir=config.model_path)
     return GuidedAttentionPipeline(sd, registry)

@@ -255,6 +255,34 @@ class ArtifactWriter:
         return img, path
 
 
+def dynamic_thresholding(
+    latents: np.ndarray,
+    per_channel: bool = False,
+    center_means: bool = False,
+    max_value: float = 2.5,
+) -> np.ndarray:
+    """Latent-clamp experiment the reference ships but never calls
+    (reference utils/helpers.py:352-371): rescale so the 99th percentile of
+    |latents| stays <= max_value, optionally per channel and mean-centered.
+    NHWC numpy in -> new array out (the reference mutates NCHW in place)."""
+    lat = np.array(latents, dtype=np.float32, copy=True)
+    if per_channel:
+        for c in range(lat.shape[-1]):
+            p = np.quantile(np.abs(lat[..., c]), 0.99)
+            if p > max_value:
+                lat[..., c] *= max_value / p
+        if center_means:
+            for c in range(lat.shape[-1]):
+                lat[..., c] -= lat[..., c].mean()
+    else:
+        p = np.quantile(np.abs(lat), 0.99)
+        if p > max_value:
+            lat *= max_value / p
+        if center_means:
+            lat -= lat.mean()
+    return lat
+
+
 def save_individual_ca_maps(pipe, out, step: int = 12, heads_dir: Optional[Path] = None):
     """Per-head, per-resolution cross-attention map dump for one step
     (reference pipeline_guided_attention.py:319-346, save_maps_at=12).

@@ -202,3 +202,31 @@ def test_gui_server_roundtrip(artifacts):
     assert "result" in results["post"]
     assert Path(results["post"]["result"]).exists()
     assert (config.output_path / "static" / "output.png").exists()
+
+
+def test_main_profile_dir_and_model_preset(tmp_path):
+    """cli.main end-to-end: --model micro preset + --profile_dir writes a
+    jax.profiler trace (SURVEY par.5: the reference has no profiler)."""
+    prof = tmp_path / "trace"
+    out = tmp_path / "out"
+    cli.main(
+        [
+            "--meta_prompt",
+            "a [dog:.2,.3] x",
+            "--model",
+            "micro",
+            "--dtype",
+            "float32",
+            "--seeds",
+            "3",
+            "--n_inference_steps",
+            "2",
+            "--output_path",
+            str(out),
+            "--profile_dir",
+            str(prof),
+        ]
+    )
+    traces = list(prof.rglob("*"))
+    assert any(p.is_file() for p in traces), "no profiler trace files written"
+    assert list(out.rglob("*.png")), "no image written"

@@ -48,3 +48,53 @@ def test_smooth_preserves_shape_and_batch_axes():
     y = np.asarray(smooth_maps(x))
     assert y.shape == x.shape
     np.testing.assert_allclose(y, x, rtol=1e-5)  # blur of constant is constant
+
+
+def test_average_smoothing_matches_torch():
+    """Box filter parity with the reference's (unused) AverageSmoothing
+    module (reference utils/gaussian_smoothing.py:74-119, VALID padding)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from guided_attention_tpu.guidance.smoothing import average_smooth_maps
+
+    rng = np.random.default_rng(3)
+    imgs = rng.random((2, 16, 16)).astype(np.float32)
+    got = np.asarray(average_smooth_maps(imgs, 3))
+    assert got.shape == (2, 14, 14)
+    w = torch.ones(1, 1, 3, 3) / 9.0
+    want = F.conv2d(torch.from_numpy(imgs)[:, None], w, groups=1)[:, 0].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_dynamic_thresholding_matches_reference_loops():
+    """Port parity for the reference's (unused) dynamic_thresholding
+    (reference utils/helpers.py:352-371)."""
+    from guided_attention_tpu.runtime.artifacts import dynamic_thresholding
+
+    rng = np.random.default_rng(4)
+    lat = (rng.standard_normal((1, 8, 8, 4)) * 3.0).astype(np.float32)
+
+    # whole-tensor variant
+    got = dynamic_thresholding(lat)
+    p = np.quantile(np.abs(lat), 0.99)
+    want = lat * (2.5 / p) if p > 2.5 else lat
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # per-channel + center_means variant (reference loops channels of NCHW;
+    # ours is NHWC)
+    got = dynamic_thresholding(lat, per_channel=True, center_means=True)
+    want = lat.copy()
+    for c in range(4):
+        pc = np.quantile(np.abs(want[..., c]), 0.99)
+        if pc > 2.5:
+            want[..., c] *= 2.5 / pc
+    for c in range(4):
+        want[..., c] -= want[..., c].mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # below the clamp: identity
+    small = (lat * 0.1).astype(np.float32)
+    np.testing.assert_allclose(dynamic_thresholding(small), small)
