@@ -56,6 +56,10 @@ class UNetConfig:
     # Pallas flash attention for long self-attention sequences
     use_flash_attention: bool = False
     flash_min_seq: int = 2048
+    # flash backward query-block: 128 is ~8% faster per guidance fwd+bwd and
+    # fits VMEM in the single-sample program; the batch engine's vmap adds a
+    # grid dim that overflows at 128, so parallel/batch.py overrides to 64
+    flash_bwd_block: int = 128
     dtype: Any = jnp.float32
     # dtype for GroupNorm/LayerNorm compute. fp32 is the conservative
     # default; bf16 removes the up/down-casts around every norm (the
@@ -113,6 +117,7 @@ class CrossAttention(nn.Module):
     dim_head: int
     dtype: Any = jnp.float32
     use_flash: bool = False
+    flash_bwd_block: int = 128
 
     @nn.compact
     def __call__(self, x, context=None, capture=False, capture_perhead=False, pww_mask=None, pww_gate=None):
@@ -131,6 +136,7 @@ class CrossAttention(nn.Module):
             pww_mask=pww_mask,
             pww_gate=pww_gate,
             use_flash=self.use_flash,
+            flash_bwd_block=self.flash_bwd_block,
         )
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
         return out, pooled
@@ -157,15 +163,18 @@ class BasicTransformerBlock(nn.Module):
     use_flash_self: bool = False
     use_flash_cross: bool = False
     norm_dtype: Any = jnp.float32
+    flash_bwd_block: int = 128
 
     @nn.compact
     def __call__(self, x, context, capture_self=False, capture_cross=False, capture_cross_perhead=False, pww_mask=None, pww_gate=None):
         h, self_map = CrossAttention(
-            self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_self, name="attn1"
+            self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_self,
+            flash_bwd_block=self.flash_bwd_block, name="attn1"
         )(nn.LayerNorm(dtype=self.norm_dtype, name="norm1")(x).astype(self.dtype), None, capture=capture_self)
         x = x + h
         h, cross_map = CrossAttention(
-            self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_cross, name="attn2"
+            self.dim, self.heads, self.dim_head, self.dtype, use_flash=self.use_flash_cross,
+            flash_bwd_block=self.flash_bwd_block, name="attn2"
         )(
             nn.LayerNorm(dtype=self.norm_dtype, name="norm2")(x).astype(self.dtype),
             context,
@@ -192,6 +201,7 @@ class Transformer2D(nn.Module):
     use_flash_self: bool = False
     use_flash_cross: bool = False
     norm_dtype: Any = jnp.float32
+    flash_bwd_block: int = 128
 
     @nn.compact
     def __call__(self, x, context, capture: CaptureSpec, pww=None, pww_gate=None):
@@ -219,6 +229,7 @@ class Transformer2D(nn.Module):
             self.use_flash_self,
             self.use_flash_cross,
             self.norm_dtype,
+            self.flash_bwd_block,
             name="transformer_blocks_0",
         )(h, context, capture_self, capture_cross, capture_cross_ph, pww_mask, pww_gate)
         if self.use_linear_projection:
@@ -310,6 +321,7 @@ class UNet2DCondition(nn.Module):
                         cfg.use_flash_attention and (h.shape[1] * h.shape[2]) >= cfg.flash_min_seq,
                         cfg.use_flash_attention,
                         norm_dtype=cfg.norm_dtype,
+                        flash_bwd_block=cfg.flash_bwd_block,
                         name=f"down_blocks_{i}_attentions_{j}",
                     )(h, ctx, capture, pww, pww_gate)
                     collect("down", sm, cm)
@@ -338,6 +350,7 @@ class UNet2DCondition(nn.Module):
             False,
             cfg.use_flash_attention,
             norm_dtype=cfg.norm_dtype,
+            flash_bwd_block=cfg.flash_bwd_block,
                         name="mid_block_attentions_0",
         )(h, ctx, capture, pww, pww_gate)
         collect("mid", sm, cm)
@@ -364,6 +377,7 @@ class UNet2DCondition(nn.Module):
                         cfg.use_flash_attention and (h.shape[1] * h.shape[2]) >= cfg.flash_min_seq,
                         cfg.use_flash_attention,
                         norm_dtype=cfg.norm_dtype,
+                        flash_bwd_block=cfg.flash_bwd_block,
                         name=f"up_blocks_{i}_attentions_{j}",
                     )(h, ctx, capture, pww, pww_gate)
                     collect("up", sm, cm)

@@ -50,6 +50,7 @@ def attention(
     pww_mask: Optional[jax.Array] = None,
     pww_gate: Optional[jax.Array] = None,
     use_flash: bool = False,
+    flash_bwd_block: int = 128,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Multi-head attention over [B, N, C] projections.
 
@@ -80,7 +81,11 @@ def attention(
             from guided_attention_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(
-                split_heads(q, heads), split_heads(k, heads), split_heads(v, heads), scale
+                split_heads(q, heads),
+                split_heads(k, heads),
+                split_heads(v, heads),
+                scale,
+                block_q_bwd=flash_bwd_block,
             )
             return merge_heads(out).astype(dtype), None
         if capture and k.shape[1] != nq:  # cross-attention with fused map side-output

@@ -10,6 +10,7 @@ algorithm needs none across samples (SURVEY.md §2.3).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -18,6 +19,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from guided_attention_tpu.config import HyperParams
 from guided_attention_tpu.parallel.mesh import DEFAULT_TP_RULES, param_shardings
 from guided_attention_tpu.pipeline import GenStatics, build_generate_raw
+
+
+def _vmap_safe_bundle(sd):
+    """vmap adds a grid dimension to the Pallas flash kernels; the backward's
+    128 query block then overflows the ~16 MB scoped VMEM by ~0.1 MB at
+    batch 4. Rebuild the bundle with the 64 block (params are unaffected)."""
+    if not sd.config.unet.use_flash_attention or sd.config.unet.flash_bwd_block <= 64:
+        return sd
+    from guided_attention_tpu.models.unet import UNet2DCondition
+
+    ucfg = dataclasses.replace(sd.config.unet, flash_bwd_block=64)
+    cfg = dataclasses.replace(sd.config, unet=ucfg)
+    return dataclasses.replace(sd, config=cfg, unet=UNet2DCondition(ucfg))
 
 
 def build_batch_generate(
@@ -34,7 +48,7 @@ def build_batch_generate(
     per_prompt_* flags are set — specs must share their static structure,
     i.e. the same number of sub-prompt groups and custom losses).
     """
-    raw = build_generate_raw(sd, statics, hp)
+    raw = build_generate_raw(_vmap_safe_bundle(sd), statics, hp)
     vmapped = jax.vmap(
         raw,
         in_axes=(

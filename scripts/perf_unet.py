@@ -50,18 +50,50 @@ def main():
     unet = UNet2DCondition(ucfg)
     params = sd.params["unet"]
 
-    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 768), jnp.bfloat16)
+    bwd_mode = "--bwd" in sys.argv
+    if "--bwd128" in sys.argv:
+        # widen the flash backward query block (64 is the batch-engine-safe
+        # default; the single-sample path has VMEM headroom for 128)
+        import guided_attention_tpu.ops.flash_attention as fa
 
-    def chain(p, x, c):
-        def body(h, i):
-            eps, _ = unet.apply({"params": p}, h, jnp.int32(500) - i, c)
-            return eps.astype(h.dtype), ()
+        orig = fa.flash_attention
+        fa.flash_attention = lambda q, k, v, scale=None, block_q=512, block_q_bwd=64: orig(
+            q, k, v, scale, block_q, 128
+        )
+        bwd_mode = True
 
-        out, _ = jax.lax.scan(body, x, jnp.arange(N, dtype=jnp.int32))
-        return out
+    B = 1 if bwd_mode else 2
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 77, 768), jnp.bfloat16)
+
+    if bwd_mode:
+        # step-0 unit cost: grad-enabled cond-only forward with map capture
+        # (the guidance eval, pipeline.py guidance_eval)
+        cap = frozenset({("cross", 16)})
+
+        def chain(p, x, c):
+            def loss(xx, i):
+                eps, aux = unet.apply({"params": p}, xx, jnp.int32(500) - i, c, capture=cap)
+                maps = sum(jnp.sum(m) for k in aux["maps"] for m in aux["maps"][k])
+                return jnp.mean(eps.astype(jnp.float32)) + 0.001 * maps
+
+            def body(h, i):
+                l, g = jax.value_and_grad(loss)(h, i)
+                return (h - 0.001 * g).astype(h.dtype), l
+
+            out, _ = jax.lax.scan(body, x, jnp.arange(N, dtype=jnp.int32))
+            return out
+    else:
+
+        def chain(p, x, c):
+            def body(h, i):
+                eps, _ = unet.apply({"params": p}, h, jnp.int32(500) - i, c)
+                return eps.astype(h.dtype), ()
+
+            out, _ = jax.lax.scan(body, x, jnp.arange(N, dtype=jnp.int32))
+            return out
 
     fwd = jax.jit(chain)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 4), jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 64, 64, 4), jnp.bfloat16)
 
     t0 = time.time()
     jax.device_get(fwd(params, x, ctx))
@@ -70,7 +102,7 @@ def main():
     # block_until_ready does NOT block over the axon tunnel; force a
     # device->host pull (65 KB, ~30 ms) to end the timing
     xs = jax.device_get(
-        jax.jit(lambda k: jax.random.normal(k, (5, 2, 64, 64, 4), jnp.bfloat16))(
+        jax.jit(lambda k: jax.random.normal(k, (5, B, 64, 64, 4), jnp.bfloat16))(
             jax.random.PRNGKey(2)
         )
     )
@@ -82,7 +114,8 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     tag = " ".join(a for a in sys.argv[1:]) or "default"
-    print(f"[{tag}] {best*1000/N:.2f} ms/fwd (batch-2 CFG), wall {[round(t,3) for t in times]}")
+    kind = "fwd+bwd (batch-1 guidance eval)" if bwd_mode else "fwd (batch-2 CFG)"
+    print(f"[{tag}] {best*1000/N:.2f} ms/{kind}, wall {[round(t,3) for t in times]}")
 
 
 if __name__ == "__main__":
