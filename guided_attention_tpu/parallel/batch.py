@@ -94,10 +94,41 @@ def build_batch_generate(
         flat, treedef = jax.tree_util.tree_flatten(params)
         return (treedef, tuple((tuple(l.shape), str(l.dtype)) for l in flat))
 
+    def _to_global(params, emb, latents0, spec, sched, arrays, keys):
+        """Multi-process: build global arrays from host-local values.
+
+        Every process passes identical replicated args (params/emb/spec/
+        sched/arrays — same seeds and config everywhere) and its OWN slice
+        of the batched args (latents0/keys, sliced by process index), glued
+        into one global array over the mesh (multihost_utils)."""
+        from jax.experimental import multihost_utils as mh
+
+        from guided_attention_tpu.parallel.multihost import local_batch_slice
+
+        sl = local_batch_slice(latents0.shape[0])
+        params_spec = jax.tree_util.tree_map(
+            lambda s: s.spec, param_shardings(params, mesh, tp_rules)
+        )
+        params = mh.host_local_array_to_global_array(params, mesh, params_spec)
+        rep, bat = P(), P("data")
+        emb = mh.host_local_array_to_global_array(emb, mesh, bat if per_prompt_emb else rep)
+        spec = mh.host_local_array_to_global_array(spec, mesh, bat if per_prompt_spec else rep)
+        sched = mh.host_local_array_to_global_array(sched, mesh, rep)
+        arrays = mh.host_local_array_to_global_array(arrays, mesh, rep)
+        import numpy as np
+
+        latents0 = mh.host_local_array_to_global_array(np.asarray(latents0)[sl], mesh, bat)
+        keys = mh.host_local_array_to_global_array(np.asarray(keys)[sl], mesh, bat)
+        return params, emb, latents0, spec, sched, arrays, keys
+
     def generate(params, emb, latents0, spec, sched, arrays, keys):
         key = _params_key(params)
         if key not in cache:
             cache[key] = make(params)
+        if jax.process_count() > 1:
+            params, emb, latents0, spec, sched, arrays, keys = _to_global(
+                params, emb, latents0, spec, sched, arrays, keys
+            )
         return cache[key](params, emb, latents0, spec, sched, arrays, keys)
 
     return generate

@@ -32,7 +32,12 @@ def is_primary() -> bool:
 def _allgather_to_numpy(tree):
     from jax.experimental import multihost_utils
 
-    return jax.tree_util.tree_map(np.asarray, multihost_utils.process_allgather(tree))
+    # tiled: concatenate shards along axis 0 instead of stacking a process
+    # axis — global batch-sharded [B, ...] arrays come back as full [B, ...]
+    # on every host (and it is required for non-fully-addressable arrays)
+    return jax.tree_util.tree_map(
+        np.asarray, multihost_utils.process_allgather(tree, tiled=True)
+    )
 
 
 def to_host(tree):
