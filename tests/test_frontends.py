@@ -230,3 +230,48 @@ def test_main_profile_dir_and_model_preset(tmp_path):
     traces = list(prof.rglob("*"))
     assert any(p.is_file() for p in traces), "no profiler trace files written"
     assert list(out.rglob("*.png")), "no image written"
+
+
+def test_execute_batch_and_artifact_flags(artifacts, tmp_path):
+    """CLI sharded-batch path (--batch_size) + the three save flags in one
+    execute: per-eval map dumps (save_all_maps -> write_eval_maps), per-head
+    map re-run (save_individual_ca_maps), and the final relevance overlay
+    (save_cross_attention_maps, which the reference parses but never reads)."""
+    _, pipe, _, _ = artifacts
+    config = RunConfig(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seeds=[1, 2],
+        n_inference_steps=2,
+        output_path=tmp_path,
+        batch_size=2,
+        save_all_maps=True,
+        save_individual_ca_maps=True,
+        save_cross_attention_maps=True,
+    )
+    cli.execute(config, pipe)
+    files = [str(p) for p in tmp_path.rglob("*.png")]
+    assert any("_attnmap_tok" in f for f in files), "no per-eval token maps"
+    assert any("/heads/" in f and "head_" in f for f in files), "no per-head maps"
+    assert any("cross_attention" in f for f in files), "no relevance overlay"
+    # one grid + one final image per seed
+    assert any(f.endswith("a _robot__6,_3,_4,_55_ and a _vase_0,_3,_4,_55_.png") for f in files)
+
+
+def test_self_attn_clusters_viewer(artifacts, tmp_path):
+    """Producer + offline KMeans clustering viewer (reference
+    self_attn_clusters_view.py:7-37) end-to-end on a real saved matrix."""
+    from guided_attention_tpu.runtime.artifacts import save_self_attention_npy
+    from guided_attention_tpu.viewers.self_attn_clusters import cluster_self_attention
+
+    _, pipe, _, _ = artifacts
+    out = pipe(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seed=3,
+        num_inference_steps=2,
+        thresholds={0: 0.5},
+    )
+    npy = save_self_attention_npy(pipe, out, path=tmp_path / "self_attn.npy", res=16)
+    assert Path(npy).exists()
+    cluster_self_attention(str(npy), k_range=range(2, 4), save_dir=str(tmp_path))
+    assert (tmp_path / "clusters_k2.png").exists()
+    assert (tmp_path / "inertia.png").exists() or list(tmp_path.glob("*.png"))
