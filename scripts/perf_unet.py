@@ -47,20 +47,14 @@ def main():
         ucfg = dataclasses.replace(ucfg, norm_dtype=jnp.bfloat16)
     if "--flash_all" in sys.argv:  # flash at every self-attn resolution
         ucfg = dataclasses.replace(ucfg, flash_min_seq=256)
+    bwd_mode = "--bwd" in sys.argv
+    if "--bwd64" in sys.argv:
+        # measure the batch-engine block (the single-sample default is the
+        # ~8%-faster 128, UNetConfig.flash_bwd_block)
+        ucfg = dataclasses.replace(ucfg, flash_bwd_block=64)
+        bwd_mode = True
     unet = UNet2DCondition(ucfg)
     params = sd.params["unet"]
-
-    bwd_mode = "--bwd" in sys.argv
-    if "--bwd128" in sys.argv:
-        # widen the flash backward query block (64 is the batch-engine-safe
-        # default; the single-sample path has VMEM headroom for 128)
-        import guided_attention_tpu.ops.flash_attention as fa
-
-        orig = fa.flash_attention
-        fa.flash_attention = lambda q, k, v, scale=None, block_q=512, block_q_bwd=64: orig(
-            q, k, v, scale, block_q, 128
-        )
-        bwd_mode = True
 
     B = 1 if bwd_mode else 2
     ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 77, 768), jnp.bfloat16)
