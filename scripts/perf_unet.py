@@ -47,6 +47,32 @@ def main():
         ucfg = dataclasses.replace(ucfg, norm_dtype=jnp.bfloat16)
     if "--flash_all" in sys.argv:  # flash at every self-attn resolution
         ucfg = dataclasses.replace(ucfg, flash_min_seq=256)
+    if "--fused_cross" in sys.argv:
+        # route non-captured long-seq cross-attn (the CFG pass) through the
+        # fused Pallas kernel, discarding its map side-output
+        import guided_attention_tpu.models.unet as unet_mod
+        from guided_attention_tpu.ops.attention import attention as orig_attn
+        from guided_attention_tpu.ops.flash_attention import cross_attention_with_map
+        from guided_attention_tpu.ops.attention import merge_heads, split_heads
+
+        def patched(q, k, v, heads, **kw):
+            nq, nk = q.shape[1], k.shape[1]
+            if (
+                not kw.get("capture")
+                and not kw.get("capture_perhead")
+                and kw.get("pww_mask") is None
+                and nk != nq
+                and nq >= 2048
+            ):
+                d = q.shape[-1] // heads
+                out, _ = cross_attention_with_map(
+                    split_heads(q, heads), split_heads(k, heads), split_heads(v, heads), 1.0 / d**0.5
+                )
+                return merge_heads(out).astype(q.dtype), None
+            return orig_attn(q, k, v, heads, **kw)
+
+        unet_mod.attention = patched
+
     bwd_mode = "--bwd" in sys.argv
     if "--bwd64" in sys.argv:
         # measure the batch-engine block (the single-sample default is the
