@@ -63,9 +63,12 @@ def _resnet(sd, p, cin, cout, temb_dim=None):
         _conv(sd, f"{p}.conv_shortcut", cout, cin, k=1)
 
 
-def _transformer(sd, p, c, ctx_dim):
+def _transformer(sd, p, c, ctx_dim, linear=False):
     _norm(sd, f"{p}.norm", c)
-    _conv(sd, f"{p}.proj_in", c, c, k=1)
+    if linear:  # SD2.1: use_linear_projection stores proj_in/out as Linear
+        _lin(sd, f"{p}.proj_in", c, c)
+    else:
+        _conv(sd, f"{p}.proj_in", c, c, k=1)
     tb = f"{p}.transformer_blocks.0"
     for ln in ("norm1", "norm2", "norm3"):
         _norm(sd, f"{tb}.{ln}", c)
@@ -76,10 +79,13 @@ def _transformer(sd, p, c, ctx_dim):
         _lin(sd, f"{tb}.{attn}.to_out.0", c, c)
     _lin(sd, f"{tb}.ff.net.0.proj", c * 8, c)
     _lin(sd, f"{tb}.ff.net.2", c, c * 4)
-    _conv(sd, f"{p}.proj_out", c, c, k=1)
+    if linear:
+        _lin(sd, f"{p}.proj_out", c, c)
+    else:
+        _conv(sd, f"{p}.proj_out", c, c, k=1)
 
 
-def make_unet_sd():
+def make_unet_sd(linear=False):
     u = CFG.unet
     blocks, lpb, groups = u.block_out_channels, u.layers_per_block, u.norm_num_groups
     temb_dim = blocks[0] * 4
@@ -94,13 +100,13 @@ def make_unet_sd():
             _resnet(sd, f"down_blocks.{i}.resnets.{j}", ch, out_ch, temb_dim)
             ch = out_ch
             if u.attn_down[i]:
-                _transformer(sd, f"down_blocks.{i}.attentions.{j}", ch, u.cross_attention_dim)
+                _transformer(sd, f"down_blocks.{i}.attentions.{j}", ch, u.cross_attention_dim, linear)
             skips.append(ch)
         if i != len(blocks) - 1:
             _conv(sd, f"down_blocks.{i}.downsamplers.0.conv", ch, ch)
             skips.append(ch)
     _resnet(sd, "mid_block.resnets.0", ch, ch, temb_dim)
-    _transformer(sd, "mid_block.attentions.0", ch, u.cross_attention_dim)
+    _transformer(sd, "mid_block.attentions.0", ch, u.cross_attention_dim, linear)
     _resnet(sd, "mid_block.resnets.1", ch, ch, temb_dim)
     rev_ch = list(reversed(blocks))
     rev_attn = list(reversed(u.attn_down))
@@ -110,7 +116,7 @@ def make_unet_sd():
             _resnet(sd, f"up_blocks.{i}.resnets.{j}", ch + skips.pop(), out_ch, temb_dim)
             ch = out_ch
             if rev_attn[i]:
-                _transformer(sd, f"up_blocks.{i}.attentions.{j}", ch, u.cross_attention_dim)
+                _transformer(sd, f"up_blocks.{i}.attentions.{j}", ch, u.cross_attention_dim, linear)
         if i != len(blocks) - 1:
             _conv(sd, f"up_blocks.{i}.upsamplers.0.conv", ch, ch)
     _norm(sd, "conv_norm_out", ch)
@@ -484,3 +490,34 @@ def test_vae_encoder_matches_torch(converted):
         [np.asarray(mean).transpose(0, 3, 1, 2), np.asarray(logvar).transpose(0, 3, 1, 2)], axis=1
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_sd21_linear_projection_conversion():
+    """SD2.1's use_linear_projection stores Transformer2D proj_in/proj_out as
+    Linear [out, in] instead of 1x1 Conv [out, in, 1, 1]; the converter must
+    map both layouts (reference --sd_2_1, run.py:21-29)."""
+    import dataclasses
+
+    import jax
+
+    from guided_attention_tpu.models.convert import convert_state_dict
+    from guided_attention_tpu.models.unet import UNet2DCondition
+
+    ucfg = dataclasses.replace(CFG.unet, use_linear_projection=True)
+    unet = UNet2DCondition(ucfg)
+    latents = jnp.zeros((1, ucfg.sample_size, ucfg.sample_size, ucfg.in_channels))
+    ctx = jnp.zeros((1, 77, ucfg.cross_attention_dim))
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), latents, jnp.int32(0), ctx)["params"]
+
+    sd = {k: v.numpy() for k, v in make_unet_sd(linear=True).items()}
+    got = convert_state_dict(sd, params, "unet")
+
+    w = sd["down_blocks.0.attentions.0.proj_in.weight"]  # [out, in]
+    k = np.asarray(got["down_blocks_0_attentions_0"]["proj_in"]["kernel"])
+    assert k.shape == (w.shape[1], w.shape[0])
+    np.testing.assert_allclose(k, w.T, rtol=1e-6)
+    # forward runs at converted weights
+    eps, _ = jax.jit(lambda p, x, c: unet.apply({"params": p}, x, jnp.int32(3), c))(
+        got, latents, ctx
+    )
+    assert np.isfinite(np.asarray(eps)).all()
