@@ -10,6 +10,7 @@ precomputed host-side into arrays indexed by token slot [0..76].
 """
 from __future__ import annotations
 
+import copy
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -202,9 +203,15 @@ def build_guidance_spec(
                     if idx < K:
                         pww_masks[res][:, idx] = flat
 
+    # bind a per-spec COPY: bind() mutates the loss object, and the registry
+    # instance is shared across prompts — binding it in place would corrupt
+    # the custom_losses baked into previously built (and cached) specs
+    custom_items = []
     for name, (obj, args) in custom_losses.items():
-        obj.bind(tokenizer, prompt, args)
-    custom_items = tuple((name, fn_args[0], fn_args[1]) for name, fn_args in custom_losses.items())
+        bound = copy.deepcopy(obj)
+        bound.bind(tokenizer, prompt, args)
+        custom_items.append((name, bound, args))
+    custom_items = tuple(custom_items)
     n_groups = len(groups) + (1 if custom_items else 0)
     custom_group = len(groups) if custom_items else -1
 

@@ -276,6 +276,7 @@ class UNet2DCondition(nn.Module):
         pww: Optional[Dict[int, jax.Array]] = None,
         pww_gate: Optional[jax.Array] = None,
         deep_inject: Optional[jax.Array] = None,
+        deep_inject_gate: Optional[jax.Array] = None,
     ):
         cfg = self.config
         dtype = cfg.dtype
@@ -336,6 +337,11 @@ class UNet2DCondition(nn.Module):
             inj = deep_inject.astype(dtype)
             if inj.shape[0] != b:
                 inj = jnp.broadcast_to(inj, (b,) + inj.shape[1:])
+            if deep_inject_gate is not None:
+                # traced on/off switch so one compiled forward serves both
+                # the injecting and non-injecting CFG pass (the alternative,
+                # lax.cond over two UNet instances, doubles the executable)
+                inj = jnp.where(deep_inject_gate, inj, deep)
             res_samples[-1] = inj
 
         # --- mid ---

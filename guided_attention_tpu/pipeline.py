@@ -191,7 +191,7 @@ def build_generate_raw(
         pww = spec.pww_masks if spec.pww_masks else None
         C = latents0.shape[-1]
 
-        def unet_eps(latents, t, context, cap=frozenset(), gate=None, deep_inject=None):
+        def unet_eps(latents, t, context, cap=frozenset(), gate=None, deep_inject=None, deep_gate=None):
             eps, aux = unet.apply(
                 {"params": params["unet"]},
                 latents,
@@ -201,6 +201,7 @@ def build_generate_raw(
                 pww=pww,
                 pww_gate=gate,
                 deep_inject=deep_inject,
+                deep_inject_gate=deep_gate,
             )
             return eps, aux
 
@@ -319,7 +320,14 @@ def build_generate_raw(
 
                 # latent/deep update happens only on refinement bodies
                 if hp.use_optimizer:
-                    # SGD + momentum, lr = step/2.5 (pipeline:495-497)
+                    # SGD + momentum, lr = step/2.5 (pipeline:495-497).
+                    # Documented deviation for use_optimizer+optimize_deep_latent
+                    # combined: the reference's SGD holds [latents] (:497) even
+                    # in deep mode, so its optim.step() there updates LATENTS
+                    # through the skip-connection grads while deepFeatures only
+                    # move at the final :1003 update — almost certainly
+                    # unintended; here the optimizer consistently drives the
+                    # declared optimization variable (deep features).
                     vel2 = jnp.where(refining, (0.8 * vel + grad).astype(v.dtype), vel)
                     v_upd = (v - (lr / 2.5) * vel2).astype(v.dtype)
                 else:
@@ -340,7 +348,10 @@ def build_generate_raw(
                 # refinement continues while the latest eval misses the
                 # threshold and the iteration budget remains (pipeline:501,
                 # 560-562), then one final forward; a zero budget skips
-                # straight to the final forward without any update
+                # straight to the final forward without any update (documented
+                # deviation: the reference checks `iteration >= max` only
+                # AFTER the body, so max=0 would still run one eval+update —
+                # unreachable from its config, which hardcodes 10 at :992)
                 after_eval0 = PH_REFINE if statics.max_refinement_steps > 0 else PH_FINAL
                 phase2 = jnp.where(
                     first,
@@ -401,35 +412,53 @@ def build_generate_raw(
                 var1,
             )
             did_update = jnp.logical_or(needs_refine, apply)
+            # entered_refine gates the deep-feature CFG injection: the
+            # reference clears injectDeepFeatures at step start (:935) and
+            # only the refinement call sets it (:514), so an apply-only deep
+            # update is computed but NOT injected that step
             if deep_mode:
-                return latents, var2, did_update, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
-            return var2, _zero_deep(), did_update, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
+                return latents, var2, did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
+            return var2, _zero_deep(), did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
 
-        def _cfg_eps(latents, t, gate, deep_inject=None):
+        def _cfg_eps(latents, t, gate, deep_inject=None, deep_gate=None):
             if do_cfg:
                 pair = jnp.concatenate([latents, latents], axis=0)
                 ctx = jnp.concatenate([uncond, cond], axis=0)
-                eps_pair, _ = unet_eps(pair, t, ctx, frozenset(), gate, deep_inject)
+                eps_pair, _ = unet_eps(pair, t, ctx, frozenset(), gate, deep_inject, deep_gate)
                 eps_u, eps_c = eps_pair[0:1], eps_pair[1:2]
                 return eps_u + statics.guidance_scale * (eps_c - eps_u)
-            eps, _ = unet_eps(latents, t, cond, frozenset(), gate, deep_inject)
+            eps, _ = unet_eps(latents, t, cond, frozenset(), gate, deep_inject, deep_gate)
             return eps
 
         def cfg_and_step(latents, i, t, gate, deep, use_deep):
             """Batch-2 CFG forward + DDIM (pipeline:1010-1029). In deep mode
-            the CFG pass injects the optimized bottleneck features when the
-            step actually optimized them (reference injectDeepFeatures,
-            pipeline:693-706)."""
+            the CFG pass injects the optimized bottleneck features only when
+            refinement ran this step (reference injectDeepFeatures: cleared
+            at :935, set only by the refinement call at :514); the injection
+            is a traced gate inside ONE UNet instance, not a lax.cond over
+            two (which would double the step executable)."""
             if deep_mode:
-                eps = jax.lax.cond(
-                    use_deep,
-                    lambda: _cfg_eps(latents, t, gate, deep),
-                    lambda: _cfg_eps(latents, t, gate, None),
-                )
+                eps = _cfg_eps(latents, t, gate, deep, use_deep)
             else:
                 eps = _cfg_eps(latents, t, gate)
             prev, x0 = ddim_step(sched, i, eps.astype(jnp.float32), latents.astype(jnp.float32))
             return prev, x0
+
+        def zero_guidance_outputs():
+            """Zero stand-in for guided_update's outputs after the latent —
+            the ONE definition the skip/non-guided branches share (lax.cond
+            requires structurally identical pytrees on both sides)."""
+            return (
+                _zero_deep(),
+                jnp.asarray(False),  # did_update
+                jnp.asarray(False),  # entered_refine
+                jnp.zeros(()),  # loss
+                zero_eval_aux(),
+                jnp.int32(0),  # refine_iters
+                jnp.zeros((R_sub, K)),
+                jnp.zeros((R_sub,), bool),
+                _zero_eval_maps(),
+            )
 
         def one_pass(latents, i, t, gate):
             """guidance + CFG + scheduler for one recursion iteration."""
@@ -440,34 +469,16 @@ def build_generate_raw(
                     return guided_update(lat, i, t, gate)
 
                 def skip(lat):
-                    return (
-                        lat,
-                        _zero_deep(),
-                        jnp.asarray(False),
-                        jnp.zeros(()),
-                        zero_eval_aux(),
-                        jnp.int32(0),
-                        jnp.zeros((R_sub, K)),
-                        jnp.zeros((R_sub,), bool),
-                        _zero_eval_maps(),
-                    )
+                    return (lat,) + zero_guidance_outputs()
 
-                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = jax.lax.cond(
+                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = jax.lax.cond(
                     pred, run, skip, latents
                 )
             else:
-                lat2, deep, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = (
+                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = (
                     latents,
-                    _zero_deep(),
-                    jnp.asarray(False),
-                    jnp.zeros(()),
-                    zero_eval_aux(),
-                    jnp.int32(0),
-                    jnp.zeros((R_sub, K)),
-                    jnp.zeros((R_sub,), bool),
-                    _zero_eval_maps(),
-                )
-            prev, x0 = cfg_and_step(lat2, i, t, gate, deep, did_update)
+                ) + zero_guidance_outputs()
+            prev, x0 = cfg_and_step(lat2, i, t, gate, deep, entered_refine)
             # scheduler math runs fp32; the carried latent keeps the compute dtype
             return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps
 

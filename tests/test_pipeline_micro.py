@@ -162,6 +162,25 @@ def test_custom_loss_through_pipeline(pipe):
     assert np.isfinite(out.latents).all()
 
 
+def test_custom_loss_specs_isolated_across_prompts(pipe):
+    """Regression: bind() used to mutate the SHARED registry loss object, so
+    building a spec for prompt B corrupted the cached spec for prompt A
+    (same token-index object aliased into both)."""
+    a = "a cat and a vase [CustomLoss:toLeftOf (cat,vase)]"
+    b = "a cat and a vase [CustomLoss:toLeftOf (vase,cat)]"  # same text, swapped loss
+    kw = dict(seed=9, num_inference_steps=2, thresholds={0: 1e-6})
+    out_a1 = pipe(meta_prompt=a, **kw)
+    out_b = pipe(meta_prompt=b, **kw)
+    out_a2 = pipe(meta_prompt=a, **kw)  # hits the _prepare cache
+    assert not np.array_equal(out_a1.latents, out_b.latents)
+    assert np.array_equal(out_a1.latents, out_a2.latents), (
+        "cached spec for prompt A was corrupted by binding prompt B"
+    )
+    la = out_a1.spec.custom_losses[0][1]
+    lb = out_b.spec.custom_losses[0][1]
+    assert la.static_state() != lb.static_state()
+
+
 def test_capture_eval_maps(pipe):
     """Per-refinement-slot map capture (reference dumps a PNG per token per
     loss evaluation, pipeline:237-246)."""
