@@ -13,6 +13,8 @@ Stable Diffusion scheduler config (v1.x and v2.1-base share it):
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -82,20 +84,40 @@ def make_ddim_schedule(
 
 
 def ddim_step(
-    sched: DDIMSchedule, i: jnp.ndarray, noise_pred: jnp.ndarray, sample: jnp.ndarray
+    sched: DDIMSchedule,
+    i: jnp.ndarray,
+    noise_pred: jnp.ndarray,
+    sample: jnp.ndarray,
+    eta: float = 0.0,
+    key: Optional[jax.Array] = None,
 ):
-    """One deterministic (eta=0) DDIM update x_t -> x_{t-1}.
+    """One DDIM update x_t -> x_{t-1}.
 
     Returns (prev_sample, pred_original_sample). ``i`` is the loop step index
-    (traced). Matches diffusers DDIMScheduler.step with clip_sample=False,
-    eta=0 (reference pipeline:1027-1029).
+    (traced). Matches diffusers DDIMScheduler.step with clip_sample=False.
+    ``eta`` is a trace-time constant (the reference threads it from
+    prepare_extra_step_kwargs into scheduler.step, reference
+    pipeline_guided_attention.py:906, 1027-1029); eta=0 compiles to the
+    deterministic update with no noise branch at all. For eta>0 the variance
+    term is diffusers' _get_variance:
+      var = (1-a_prev)/(1-a_t) * (1 - a_t/a_prev),  std = eta*sqrt(var)
+      prev = sqrt(a_prev)*x0 + sqrt(1-a_prev-std^2)*eps + std*noise(key)
     """
     a_t = sched.alpha_prod[i]
     a_prev = sched.alpha_prod_prev[i]
     b_t = 1.0 - a_t
     x0 = (sample - jnp.sqrt(b_t) * noise_pred) / jnp.sqrt(a_t)
-    direction = jnp.sqrt(1.0 - a_prev) * noise_pred
-    prev = jnp.sqrt(a_prev) * x0 + direction
+    if eta > 0.0:
+        if key is None:
+            raise ValueError("ddim_step with eta > 0 requires a PRNG key")
+        variance = (1.0 - a_prev) / b_t * (1.0 - a_t / a_prev)
+        std = eta * jnp.sqrt(variance)
+        direction = jnp.sqrt(jnp.maximum(1.0 - a_prev - std**2, 0.0)) * noise_pred
+        noise = jax.random.normal(key, sample.shape, jnp.float32)
+        prev = jnp.sqrt(a_prev) * x0 + direction + std * noise
+    else:
+        direction = jnp.sqrt(1.0 - a_prev) * noise_pred
+        prev = jnp.sqrt(a_prev) * x0 + direction
     return prev, x0
 
 

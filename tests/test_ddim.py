@@ -68,3 +68,49 @@ def test_deterministic_under_same_key():
     x = jnp.ones((1, 4, 8, 8))
     k = jax.random.PRNGKey(3)
     np.testing.assert_array_equal(np.asarray(renoise(s, 5, x, k)), np.asarray(renoise(s, 5, x, k)))
+
+
+def test_eta_zero_matches_default():
+    """eta=0 must compile the exact deterministic update (knob default)."""
+    s = make_ddim_schedule(50)
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8))
+    xt = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 8, 8))
+    prev0, x00 = ddim_step(s, 7, eps, xt)
+    prev1, x01 = ddim_step(s, 7, eps, xt, eta=0.0, key=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(prev0), np.asarray(prev1))
+    np.testing.assert_array_equal(np.asarray(x00), np.asarray(x01))
+
+
+@pytest.mark.parametrize("eta", [0.3, 1.0])
+def test_eta_matches_diffusers_formula(eta):
+    """Pin the stochastic update against an independent numpy port of
+    diffusers DDIMScheduler.step (_get_variance: (1-a_prev)/(1-a_t) *
+    (1-a_t/a_prev); prev = sqrt(a_prev)*x0 + sqrt(1-a_prev-std^2)*eps +
+    std*noise), using the same key-derived noise."""
+    s = make_ddim_schedule(50)
+    i = 12
+    eps = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 8, 8))
+    xt = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 8, 8))
+    key = jax.random.PRNGKey(6)
+    prev, x0 = ddim_step(s, i, eps, xt, eta=eta, key=key)
+
+    a_t = float(s.alpha_prod[i])
+    a_prev = float(s.alpha_prod_prev[i])
+    eps_n, xt_n = np.asarray(eps), np.asarray(xt)
+    x0_n = (xt_n - np.sqrt(1 - a_t) * eps_n) / np.sqrt(a_t)
+    var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    std = eta * np.sqrt(var)
+    noise = np.asarray(jax.random.normal(key, xt.shape, jnp.float32))
+    want = np.sqrt(a_prev) * x0_n + np.sqrt(1 - a_prev - std**2) * eps_n + std * noise
+    np.testing.assert_allclose(np.asarray(prev), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x0), x0_n, rtol=1e-5, atol=1e-6)
+    # stochastic: a different key moves the sample
+    prev2, _ = ddim_step(s, i, eps, xt, eta=eta, key=jax.random.PRNGKey(7))
+    assert not np.allclose(np.asarray(prev), np.asarray(prev2))
+
+
+def test_eta_requires_key():
+    s = make_ddim_schedule(50)
+    x = jnp.ones((1, 4, 8, 8))
+    with pytest.raises(ValueError):
+        ddim_step(s, 5, x, x, eta=0.5)
