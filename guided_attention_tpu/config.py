@@ -72,6 +72,11 @@ class RunConfig:
 
     # Guiding meta prompt, e.g. 'a [rat:.1,.2] and a [fox:.5,.4]'
     meta_prompt: str = ""
+    # Multiple meta prompts: with batch_size > 1 the (prompt x seed) grid is
+    # batched into sharded multi-prompt programs (BASELINE config 5,
+    # "8 seeds/batch multi-prompt generation"); prompts must share group
+    # structure (see runner.generate_batch). Empty => use meta_prompt.
+    meta_prompts: Optional[List[str]] = None
     # Whether to use Stable Diffusion v2.1 (base)
     sd_2_1: bool = False
     # Random seeds to generate with
@@ -120,6 +125,10 @@ class RunConfig:
     save_individual_ca_maps: bool = False
     # Only apply the gradient update on steps listed in `thresholds`
     only_update_on_threshold_steps: bool = True
+    # DDIM eta (stochastic variance; the reference threads it into
+    # scheduler.step via prepare_extra_step_kwargs, pipeline:906, 1027-1029 —
+    # its effective default is 0.0 = deterministic DDIM)
+    eta: float = 0.0
     # ---- TPU-native additions (no reference counterpart) ----
     # Model checkpoint directory (converted or HF-format); None => random init
     model_path: Optional[str] = None

@@ -48,6 +48,8 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             parser.add_argument(arg, type=float, default=default)
         elif f.name == "seeds":
             parser.add_argument(arg, type=int, nargs="+", default=default)
+        elif f.name == "meta_prompts":
+            parser.add_argument(arg, type=str, nargs="+", default=default)
         elif f.name in ("thresholds", "mesh_shape", "hyperparam_iterations"):
             parser.add_argument(arg, type=json.loads, default=default)
         elif f.name == "scale_range":
@@ -131,6 +133,9 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             skip_inert_guidance_passes=config.skip_inert_guidance_passes,
             diagnostic_level=config.diagnostic_level,
             capture_eval_maps=config.save_all_maps,
+            # per-subiter pred_pre_optim snapshots (reference pipeline:517-535)
+            capture_eval_latents=config.diagnostic_level > 0,
+            eta=config.eta,
         )
 
     # Gather (seed, hyperparam-state, output) work items. With batch_size > 1
@@ -139,20 +144,50 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     work = []
     if config.batch_size > 1:
         for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
-            meta_prompt = hp.meta_prompt or config.meta_prompt
-            seeds = list(config.seeds)
-            for lo in range(0, len(seeds), config.batch_size):
-                chunk = seeds[lo : lo + config.batch_size]
-                print(f"Seeds (sharded batch): {chunk}")
-                outs = pipe.generate_batch(chunk, meta_prompt=meta_prompt, **run_kwargs(hp))
-                work.extend((s, hp, meta_prompt, o) for s, o in zip(chunk, outs))
+            prompts = config.meta_prompts or [hp.meta_prompt or config.meta_prompt]
+            # (prompt x seed) grid, chunked into sharded batches; with
+            # multiple prompts each batch is a MULTI-PROMPT program
+            # (BASELINE config 5) — per-sample specs/embeddings, one compile
+            pairs = [(mp, s) for mp in prompts for s in config.seeds]
+            for lo in range(0, len(pairs), config.batch_size):
+                chunk = pairs[lo : lo + config.batch_size]
+                chunk_seeds = [s for _, s in chunk]
+                chunk_prompts = [mp for mp, _ in chunk]
+                print(f"Seeds (sharded batch): {chunk_seeds}")
+                if len(set(chunk_prompts)) == 1:
+                    outs = pipe.generate_batch(
+                        chunk_seeds, meta_prompt=chunk_prompts[0], **run_kwargs(hp)
+                    )
+                else:
+                    outs = pipe.generate_batch(
+                        chunk_seeds, meta_prompts=chunk_prompts, **run_kwargs(hp)
+                    )
+                work.extend(
+                    (s, hp, mp, o) for (mp, s), o in zip(chunk, outs)
+                )
     else:
-        for seed in config.seeds:
-            for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
-                meta_prompt = hp.meta_prompt or config.meta_prompt
-                print(f"Seed: {seed}")
-                out = pipe(meta_prompt=meta_prompt, seed=seed, **run_kwargs(hp))
-                work.append((seed, hp, meta_prompt, out))
+        # depth-2 pipelined sweep: dispatch run i+1 BEFORE pulling run i's
+        # results — JAX arrays are futures, so seed i's host tail (dispatch +
+        # device->host transfer, ~0.1-0.2 s on remote TPUs) overlaps seed
+        # i+1's device compute. Semantically identical to the serial loop.
+        prompts = config.meta_prompts or [None]
+        runs = [
+            (cli_mp or hp.meta_prompt or config.meta_prompt, seed, hp)
+            for cli_mp in prompts
+            for seed in config.seeds
+            for hp in get_hyperparam_states(base_hp, hyperparam_iterations)
+        ]
+        pending = None
+        for meta_prompt, seed, hp in runs:
+            print(f"Seed: {seed}")
+            nxt = (seed, hp, meta_prompt, pipe.dispatch(meta_prompt=meta_prompt, seed=seed, **run_kwargs(hp)))
+            if pending is not None:
+                s, h, mp, p = pending
+                work.append((s, h, mp, p.result()))
+            pending = nxt
+        if pending is not None:
+            s, h, mp, p = pending
+            work.append((s, h, mp, p.result()))
 
     if not work:  # empty --seeds: nothing generated, nothing to grid
         return None

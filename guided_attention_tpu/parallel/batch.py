@@ -97,13 +97,31 @@ def build_batch_generate(
     def _to_global(params, emb, latents0, spec, sched, arrays, keys):
         """Multi-process: build global arrays from host-local values.
 
-        Every process passes identical replicated args (params/emb/spec/
-        sched/arrays — same seeds and config everywhere) and its OWN slice
-        of the batched args (latents0/keys, sliced by process index), glued
-        into one global array over the mesh (multihost_utils)."""
+        Every process passes identical replicated args (params/sched/arrays —
+        same seeds and config everywhere) and its OWN slice of the batched
+        args (latents0/keys, and emb/spec in per-prompt mode, sliced by
+        process index), glued into one global array over the mesh
+        (multihost_utils)."""
+        import numpy as np
         from jax.experimental import multihost_utils as mh
 
         from guided_attention_tpu.parallel.multihost import local_batch_slice
+
+        # Replicated params are glued with the TP partition specs, which is
+        # only correct while every 'tensor'-axis group lives on ONE process
+        # (otherwise each host's full param would be treated as a local
+        # shard and build an oversized global array). Data-axis-only
+        # multi-host is the supported layout; fail loudly on anything else.
+        if mesh.shape.get("tensor", 1) > 1:
+            t_ax = mesh.axis_names.index("tensor")
+            rows = np.moveaxis(mesh.devices, t_ax, -1).reshape(-1, mesh.shape["tensor"])
+            for row in rows:
+                if len({d.process_index for d in row}) != 1:
+                    raise ValueError(
+                        "multi-process generate_batch requires the 'tensor' mesh axis "
+                        "to be process-local (shard 'data' across hosts, 'tensor' "
+                        "within a host)"
+                    )
 
         sl = local_batch_slice(latents0.shape[0])
         params_spec = jax.tree_util.tree_map(
@@ -111,12 +129,22 @@ def build_batch_generate(
         )
         params = mh.host_local_array_to_global_array(params, mesh, params_spec)
         rep, bat = P(), P("data")
-        emb = mh.host_local_array_to_global_array(emb, mesh, bat if per_prompt_emb else rep)
-        spec = mh.host_local_array_to_global_array(spec, mesh, bat if per_prompt_spec else rep)
+
+        def batched_local(tree):
+            # per-prompt args carry the FULL batch on every host; glue this
+            # host's slice, like latents0/keys
+            return jax.tree_util.tree_map(lambda x: np.asarray(x)[sl], tree)
+
+        if per_prompt_emb:
+            emb = mh.host_local_array_to_global_array(batched_local(emb), mesh, bat)
+        else:
+            emb = mh.host_local_array_to_global_array(emb, mesh, rep)
+        if per_prompt_spec:
+            spec = mh.host_local_array_to_global_array(batched_local(spec), mesh, bat)
+        else:
+            spec = mh.host_local_array_to_global_array(spec, mesh, rep)
         sched = mh.host_local_array_to_global_array(sched, mesh, rep)
         arrays = mh.host_local_array_to_global_array(arrays, mesh, rep)
-        import numpy as np
-
         latents0 = mh.host_local_array_to_global_array(np.asarray(latents0)[sl], mesh, bat)
         keys = mh.host_local_array_to_global_array(np.asarray(keys)[sl], mesh, bat)
         return params, emb, latents0, spec, sched, arrays, keys

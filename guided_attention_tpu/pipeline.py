@@ -62,11 +62,25 @@ class GenStatics:
     sub_prompt_avg_within: bool = False
     only_update_on_threshold_steps: bool = True
     max_iter_to_alter: int = 25
+    # DDIM eta (stochastic variance scale; reference threads it via
+    # prepare_extra_step_kwargs into scheduler.step, pipeline:906, 1027-1029).
+    # 0.0 (the reference's effective default) compiles the deterministic step.
+    eta: float = 0.0
     last_threshold: float = 1.0  # meets_threshold(-1, ...) value (pipeline:1083)
     capture_step_maps: bool = True  # return final-eval maps per step
     # per-refinement-slot UNSMOOTHED maps (reference dumps a PNG per token
     # per eval, pipeline:239-245); heavy output, off by default
     capture_eval_maps: bool = False
+    # Rematerialize the guidance eval's forward during its backward
+    # (jax.checkpoint): trades ~1 extra truncated forward per eval for not
+    # holding the fwd activations in HBM — the knob for large-batch HBM
+    # pressure (docs/PERF.md seed-batch table, batch >= 16).
+    remat_guidance_eval: bool = False
+    # per-refinement-slot latents (f16): lets artifacts decode a
+    # 'pred_pre_optim' x0 image per SUBITERATION post-hoc — the reference
+    # saves one from a fresh in-loop forward per refinement subiter at
+    # diag>0 (pipeline:517-535). Off by default (~0.4 MB/step when on).
+    capture_eval_latents: bool = False
     # 0 = minimal StepDiag (loss scalars + control-flow counters only; the
     # bulky per-step tensors shrink to unit placeholders so the scan output
     # — and the host transfer on remote-attached TPUs — is a few KB per
@@ -138,6 +152,7 @@ class StepDiag:
     eval_unscaled: jnp.ndarray  # [R_sub, K] per-slot per-token unscaled
     eval_mask: jnp.ndarray  # bool[R_sub]
     eval_maps: jnp.ndarray  # f16[R_sub, R, R, K] per-slot probs (or [1,1,1,1])
+    eval_latents: jnp.ndarray  # f16[R_sub, h, w, C] per-slot pre-update latents (or unit)
 
 
 def aggregate_cross_maps(maps: Dict[str, Any], res: int, from_where=("up", "down", "mid")):
@@ -185,6 +200,15 @@ def build_generate_raw(
 
     def _zero_eval_maps():
         return jnp.zeros(_eval_maps_shape, jnp.float16)
+
+    _eval_lat_shape = (
+        (R_sub, ucfg.sample_size, ucfg.sample_size, ucfg.in_channels)
+        if statics.capture_eval_latents
+        else (1, 1, 1, 1)
+    )
+
+    def _zero_eval_lats():
+        return jnp.zeros(_eval_lat_shape, jnp.float16)
 
     def generate(params, emb, latents0, spec: GuidanceSpec, sched: DDIMSchedule, arrays: StepArrays, key):
         uncond, cond = emb[0:1], emb[1:2]
@@ -243,7 +267,8 @@ def build_generate_raw(
                     aux_out["probs16"] = stats.probs.astype(jnp.float16)
                 return total, aux_out
 
-            return jax.value_and_grad(loss_fn, has_aux=True)(var)
+            fn = jax.checkpoint(loss_fn) if statics.remat_guidance_eval else loss_fn
+            return jax.value_and_grad(fn, has_aux=True)(var)
 
         def zero_eval_aux():
             return {
@@ -274,6 +299,7 @@ def build_generate_raw(
             eval_buf = jnp.zeros((R_sub, K))
             eval_mask = jnp.zeros((R_sub,), bool)
             eval_maps0 = _zero_eval_maps()
+            eval_lats0 = _zero_eval_lats()
 
             if deep_mode:
                 # fresh capture of the bottleneck (reference pipeline:704,
@@ -300,7 +326,7 @@ def build_generate_raw(
                 return c[0] < PH_DONE
 
             def loop_body(c):
-                (phase, n_ref, v, needs, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, vel) = c
+                (phase, n_ref, v, needs, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, lbuf, vel) = c
                 (loss, aux), grad = guidance_eval(latents, t, gate, v)
                 first = phase == PH_EVAL0
                 refining = phase == PH_REFINE
@@ -313,6 +339,14 @@ def build_generate_raw(
                 mask = jax.lax.dynamic_update_index_in_dim(mask, jnp.asarray(True), slot, 0)
                 if statics.capture_eval_maps:
                     mbuf = jax.lax.dynamic_update_index_in_dim(mbuf, aux["probs16"], slot, 0)
+                if statics.capture_eval_latents:
+                    # pre-update latent at this eval (reference decodes it as
+                    # pred_pre_optim per subiteration, pipeline:517-535); in
+                    # deep mode the latent is fixed during refinement
+                    cur_lat = latents if deep_mode else v
+                    lbuf = jax.lax.dynamic_update_index_in_dim(
+                        lbuf, cur_lat[0].astype(jnp.float16), slot, 0
+                    )
 
                 needs2 = jnp.where(first, ~met, needs)
                 # eval0's stats feed the stale threshold gate (pipeline:999)
@@ -366,7 +400,7 @@ def build_generate_raw(
                         ),
                     ),
                 )
-                return (phase2, n_ref2, v2, needs2, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, vel2)
+                return (phase2, n_ref2, v2, needs2, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, lbuf, vel2)
 
             init = (
                 jnp.int32(PH_EVAL0),
@@ -380,6 +414,7 @@ def build_generate_raw(
                 eval_buf,
                 eval_mask,
                 eval_maps0,
+                eval_lats0,
                 jnp.zeros_like(var),
             )
             (
@@ -394,6 +429,7 @@ def build_generate_raw(
                 eval_buf,
                 eval_mask,
                 eval_maps,
+                eval_lats,
                 _vel,
             ) = jax.lax.while_loop(loop_cond, loop_body, init)
 
@@ -417,8 +453,8 @@ def build_generate_raw(
             # only the refinement call sets it (:514), so an apply-only deep
             # update is computed but NOT injected that step
             if deep_mode:
-                return latents, var2, did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
-            return var2, _zero_deep(), did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps
+                return latents, var2, did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats
+            return var2, _zero_deep(), did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats
 
         def _cfg_eps(latents, t, gate, deep_inject=None, deep_gate=None):
             if do_cfg:
@@ -430,7 +466,7 @@ def build_generate_raw(
             eps, _ = unet_eps(latents, t, cond, frozenset(), gate, deep_inject, deep_gate)
             return eps
 
-        def cfg_and_step(latents, i, t, gate, deep, use_deep):
+        def cfg_and_step(latents, i, t, gate, deep, use_deep, eta_key):
             """Batch-2 CFG forward + DDIM (pipeline:1010-1029). In deep mode
             the CFG pass injects the optimized bottleneck features only when
             refinement ran this step (reference injectDeepFeatures: cleared
@@ -441,7 +477,10 @@ def build_generate_raw(
                 eps = _cfg_eps(latents, t, gate, deep, use_deep)
             else:
                 eps = _cfg_eps(latents, t, gate)
-            prev, x0 = ddim_step(sched, i, eps.astype(jnp.float32), latents.astype(jnp.float32))
+            prev, x0 = ddim_step(
+                sched, i, eps.astype(jnp.float32), latents.astype(jnp.float32),
+                eta=statics.eta, key=eta_key,
+            )
             return prev, x0
 
         def zero_guidance_outputs():
@@ -458,9 +497,10 @@ def build_generate_raw(
                 jnp.zeros((R_sub, K)),
                 jnp.zeros((R_sub,), bool),
                 _zero_eval_maps(),
+                _zero_eval_lats(),
             )
 
-        def one_pass(latents, i, t, gate):
+        def one_pass(latents, i, t, gate, eta_key):
             """guidance + CFG + scheduler for one recursion iteration."""
             if guided_mode:
                 pred = arrays.guidance_needed[i] if statics.skip_inert_guidance_passes else jnp.asarray(True)
@@ -471,21 +511,32 @@ def build_generate_raw(
                 def skip(lat):
                     return (lat,) + zero_guidance_outputs()
 
-                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = jax.lax.cond(
+                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats = jax.lax.cond(
                     pred, run, skip, latents
                 )
             else:
-                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = (
+                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats = (
                     latents,
                 ) + zero_guidance_outputs()
-            prev, x0 = cfg_and_step(lat2, i, t, gate, deep, entered_refine)
+            prev, x0 = cfg_and_step(lat2, i, t, gate, deep, entered_refine, eta_key)
             # scheduler math runs fp32; the carried latent keeps the compute dtype
-            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps
+            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats
 
         def step(carry, i):
             latents, key = carry
             t = sched.timesteps[i]
             gate = arrays.pww_gates[i]
+
+            def eta_key_for(r=None):
+                """Per-(step, recursion) eta-noise key, a stream disjoint from
+                the renoise keys (fold_in constant 104729). None when eta==0
+                so the deterministic program carries zero extra PRNG ops."""
+                if statics.eta <= 0.0:
+                    return None
+                k = jax.random.fold_in(key, i)
+                if r is not None:
+                    k = jax.random.fold_in(k, r)
+                return jax.random.fold_in(k, 104729)
 
             if recurse_steps > 1 and guided_mode:
                 def recur_cond(c):
@@ -494,14 +545,16 @@ def build_generate_raw(
 
                 def recur_body(c):
                     r, done, work, out, pack = c
-                    prev, x0, did_update, loss, aux, ri, ebuf, emask, emaps = one_pass(work, i, t, gate)
+                    prev, x0, did_update, loss, aux, ri, ebuf, emask, emaps, elats = one_pass(
+                        work, i, t, gate, eta_key_for(r)
+                    )
                     done2 = jnp.logical_or(
                         jnp.logical_or(i > recurse_until, ~did_update),
                         r + 1 >= recurse_steps,
                     )
                     key_r = jax.random.fold_in(jax.random.fold_in(key, i), r)
                     work2 = renoise(sched, i, prev, key_r)
-                    pack2 = (x0, did_update, loss, aux, ri, ebuf, emask, emaps, r + 1)
+                    pack2 = (x0, did_update, loss, aux, ri, ebuf, emask, emaps, elats, r + 1)
                     return (r + 1, done2, work2, prev, pack2)
 
                 x0_0 = jnp.zeros_like(latents, jnp.float32)
@@ -514,15 +567,16 @@ def build_generate_raw(
                     jnp.zeros((R_sub, K)),
                     jnp.zeros((R_sub,), bool),
                     _zero_eval_maps(),
+                    _zero_eval_lats(),
                     jnp.int32(0),
                 )
                 _r, _done, _work, prev, pack = jax.lax.while_loop(
                     recur_cond, recur_body, (jnp.int32(0), jnp.asarray(False), latents, latents, pack0)
                 )
-                x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, recursions = pack
+                x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats, recursions = pack
             else:
-                prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps = one_pass(
-                    latents, i, t, gate
+                prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats = one_pass(
+                    latents, i, t, gate, eta_key_for()
                 )
                 recursions = jnp.int32(1)
 
@@ -551,6 +605,7 @@ def build_generate_raw(
                     eval_unscaled=jnp.zeros((1, 1)),
                     eval_mask=jnp.zeros((1,), bool),
                     eval_maps=jnp.zeros((1, 1, 1, 1), jnp.float16),
+                    eval_latents=jnp.zeros((1, 1, 1, 1), jnp.float16),
                 )
                 return (prev.astype(latents0.dtype), key), diag
             lat_f32 = prev.astype(jnp.float32)
@@ -578,6 +633,7 @@ def build_generate_raw(
                 eval_unscaled=eval_buf,
                 eval_mask=eval_mask,
                 eval_maps=eval_maps,
+                eval_latents=eval_lats,
             )
             return (prev.astype(latents0.dtype), key), diag
 

@@ -60,6 +60,41 @@ class PipelineOutput:
     annotations: List[Annotation]
 
 
+@dataclasses.dataclass
+class PendingOutput:
+    """An issued-but-not-pulled generation (JAX arrays are futures).
+
+    Holds the on-device results of one dispatched generate call;
+    ``result()`` performs the single batched device->host transfer and
+    materializes the PipelineOutput. Lets seed sweeps overlap seed i's
+    host tail with seed i+1's device compute (GuidedAttentionPipeline.dispatch).
+    """
+
+    _img_u8: Any
+    _latents: Any
+    _diags: Any
+    _decode: bool
+    spec: GuidanceSpec
+    prompt: str
+    annotations: List[Annotation]
+
+    def result(self) -> PipelineOutput:
+        # ONE batched device->host pull: per-leaf np.asarray costs a tunnel
+        # roundtrip per StepDiag field (~0.6 s/image on remote TPUs)
+        img_u8, final_np, diags_np = jax.device_get((self._img_u8, self._latents, self._diags))
+        images = None
+        if self._decode:
+            images = np.asarray(img_u8).astype(np.float32) / 255.0
+        return PipelineOutput(
+            images=images,
+            latents=final_np,
+            diagnostics=diags_np,
+            spec=self.spec,
+            prompt=self.prompt,
+            annotations=self.annotations,
+        )
+
+
 class GuidedAttentionPipeline:
     """prompt + annotations -> guided image, all compute in one XLA program."""
 
@@ -158,6 +193,9 @@ class GuidedAttentionPipeline:
         negative_prompt,
         capture_eval_maps=False,
         capture_diagnostics=True,
+        eta=0.0,
+        capture_eval_latents=False,
+        remat_guidance_eval=False,
     ):
         # Seed sweeps re-call with identical prompt/config: cache the prepared
         # (spec, statics, sched, arrays, emb) so repeat calls skip the host->
@@ -175,7 +213,8 @@ class GuidedAttentionPipeline:
                 kernel_size, sd_2_1, only_update_on_threshold_steps,
                 sub_prompt_avg_within, skip_inert_guidance_passes,
                 diagnostic_level, negative_prompt, capture_eval_maps,
-                capture_diagnostics,
+                capture_diagnostics, eta, capture_eval_latents,
+                remat_guidance_eval,
             )
             hit = self._prepare_cache.get(cache_key)
             if hit is not None:
@@ -187,7 +226,8 @@ class GuidedAttentionPipeline:
             kernel_size, sd_2_1, only_update_on_threshold_steps,
             sub_prompt_avg_within, skip_inert_guidance_passes,
             diagnostic_level, negative_prompt, capture_eval_maps,
-            capture_diagnostics,
+            capture_diagnostics, eta, capture_eval_latents,
+            remat_guidance_eval,
         )
         if cache_key is not None:
             if len(self._prepare_cache) >= 64:  # bound device-array residency
@@ -220,6 +260,9 @@ class GuidedAttentionPipeline:
         negative_prompt,
         capture_eval_maps=False,
         capture_diagnostics=True,
+        eta=0.0,
+        capture_eval_latents=False,
+        remat_guidance_eval=False,
     ):
         hp = hp or HyperParams()
         if thresholds is not None:
@@ -258,8 +301,11 @@ class GuidedAttentionPipeline:
             max_iter_to_alter=max_iter_to_alter,
             last_threshold=float(thr_values[-1]) if thr_values else float("inf"),
             capture_eval_maps=capture_eval_maps and capture_diagnostics,
+            capture_eval_latents=capture_eval_latents and capture_diagnostics,
             capture_step_maps=capture_diagnostics,
             diag_level=1 if capture_diagnostics else 0,
+            eta=float(eta),
+            remat_guidance_eval=remat_guidance_eval,
         )
 
         sched = make_ddim_schedule(num_inference_steps)
@@ -267,7 +313,7 @@ class GuidedAttentionPipeline:
         emb = self.encode_prompt(prompt, negative_prompt)
         return hp, prompt, annotations, spec, statics, sched, arrays, emb
 
-    def __call__(
+    def dispatch(
         self,
         meta_prompt: Optional[str] = None,
         prompt: Optional[str] = None,
@@ -295,14 +341,25 @@ class GuidedAttentionPipeline:
         decode: bool = True,
         capture_eval_maps: bool = False,
         capture_diagnostics: bool = True,
-    ) -> PipelineOutput:
+        eta: float = 0.0,
+        capture_eval_latents: bool = False,
+        remat_guidance_eval: bool = False,
+    ) -> "PendingOutput":
+        """Issue one generation WITHOUT pulling results: returns a
+        PendingOutput whose ``.result()`` does the (blocking) device->host
+        transfer. JAX dispatch is async, so issuing seed i+1's call before
+        pulling seed i's results overlaps the host tail (jit dispatch +
+        transfer, ~0.1-0.2 s/image on remote-attached TPUs) with device
+        compute — frontends' seed sweeps pipeline with depth 2
+        (frontends/cli.execute)."""
         hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
             meta_prompt, prompt, annotations, hp, num_inference_steps, guidance_scale,
             max_iter_to_alter, attention_res, run_standard_sd, thresholds, scale_factor,
             scale_range, smooth_attentions, sigma, kernel_size, sd_2_1,
             only_update_on_threshold_steps, sub_prompt_avg_within,
             skip_inert_guidance_passes, diagnostic_level, negative_prompt,
-            capture_eval_maps, capture_diagnostics,
+            capture_eval_maps, capture_diagnostics, eta, capture_eval_latents,
+            remat_guidance_eval,
         )
 
         if decode and latents is None:
@@ -326,32 +383,94 @@ class GuidedAttentionPipeline:
                 self.sd.params, emb, latents, spec, sched, arrays, key_run
             )
             img_u8 = self.sd.decode_latents_u8(final_latents) if decode else None
-        # ONE batched device->host pull: per-leaf np.asarray costs a tunnel
-        # roundtrip per StepDiag field (~0.6 s/image on remote TPUs)
-        img_u8, final_np, diags_np = jax.device_get((img_u8, final_latents, diags))
-        images = None
-        if decode:
-            images = np.asarray(img_u8).astype(np.float32) / 255.0
-        return PipelineOutput(
-            images=images,
-            latents=final_np,
-            diagnostics=diags_np,
+        return PendingOutput(
+            _img_u8=img_u8,
+            _latents=final_latents,
+            _diags=diags,
+            _decode=decode,
             spec=spec,
             prompt=prompt,
             annotations=annotations,
         )
 
+    def __call__(self, *args, **kwargs) -> PipelineOutput:
+        return self.dispatch(*args, **kwargs).result()
+
+    @staticmethod
+    def _stack_specs(specs: List[GuidanceSpec]) -> GuidanceSpec:
+        """Stack per-prompt specs along a new leading batch axis.
+
+        Multi-prompt constraint (documented at generate_batch): all prompts
+        must share the spec's STATIC structure — same number of sub-prompt
+        groups and identical (bound) custom losses — because those fields are
+        baked into the single traced program the batch shares. Array leaves
+        (token bindings, geometry, masks) are free to differ per prompt.
+        """
+        s0 = specs[0]
+        for k, s in enumerate(specs[1:], 1):
+            if s.n_groups != s0.n_groups or s.custom_group != s0.custom_group:
+                raise ValueError(
+                    "multi-prompt batch requires every prompt to produce the same "
+                    f"number of sub-prompt groups (prompt 0: {s0.n_groups}, "
+                    f"prompt {k}: {s.n_groups})"
+                )
+            if s.custom_losses != s0.custom_losses:
+                raise ValueError(
+                    "multi-prompt batch requires identical custom-loss bindings "
+                    "across prompts (custom losses bake token indices into the "
+                    "traced program as static state)"
+                )
+        # normalize host-side metadata so the flax-struct treedefs match;
+        # per-output metadata is re-attached from the per-prompt prepares
+        norm = [
+            s.replace(words=s0.words, subprompts=s0.subprompts, custom_losses=s0.custom_losses)
+            for s in specs
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *norm)
+
     def generate_batch(
         self,
         seeds: List[int],
         meta_prompt: Optional[str] = None,
+        meta_prompts: Optional[List[str]] = None,
         mesh=None,
         decode: bool = True,
-        **kwargs,
+        prompt: Optional[str] = None,
+        annotations: Optional[List[Annotation]] = None,
+        hp: Optional[HyperParams] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        max_iter_to_alter: int = 25,
+        attention_res: int = 16,
+        run_standard_sd: bool = False,
+        thresholds: Optional[Dict[int, float]] = None,
+        scale_factor: float = 20.0,
+        scale_range: Tuple[float, float] = (1.0, 0.5),
+        smooth_attentions: bool = True,
+        sigma: float = 0.5,
+        kernel_size: int = 3,
+        sd_2_1: bool = False,
+        only_update_on_threshold_steps: bool = True,
+        sub_prompt_avg_within: bool = False,
+        skip_inert_guidance_passes: bool = True,
+        diagnostic_level: int = 0,
+        negative_prompt: str = "",
+        capture_eval_maps: bool = False,
+        capture_diagnostics: bool = True,
+        eta: float = 0.0,
+        capture_eval_latents: bool = False,
+        remat_guidance_eval: bool = False,
     ) -> List[PipelineOutput]:
         """Generate one image per seed as ONE sharded program over the mesh
         (the reference loops seeds serially on one GPU, run.py:97-98;
         BASELINE config 5: '8 seeds/batch multi-prompt generation').
+
+        ``meta_prompts`` (one per seed) enables multi-prompt batching: each
+        sample gets its own parsed prompt/annotations/embedding while sharing
+        the one compiled program. Constraint: every prompt must produce the
+        same number of sub-prompt groups and identical custom-loss bindings
+        (see _stack_specs). With ``meta_prompt`` (singular), all seeds share
+        one prompt.
 
         The batch axis shards over the mesh's "data" axis; UNet params
         follow the TP rules when the mesh has a "tensor" axis.
@@ -363,34 +482,67 @@ class GuidedAttentionPipeline:
         """
         from guided_attention_tpu.parallel.batch import build_batch_generate
         from guided_attention_tpu.parallel.mesh import make_mesh
+        from guided_attention_tpu.parallel.multihost import is_primary, to_host
 
-        hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
-            meta_prompt,
-            kwargs.pop("prompt", None),
-            kwargs.pop("annotations", None),
-            kwargs.pop("hp", None),
-            kwargs.pop("num_inference_steps", 50),
-            kwargs.pop("guidance_scale", 7.5),
-            kwargs.pop("max_iter_to_alter", 25),
-            kwargs.pop("attention_res", 16),
-            kwargs.pop("run_standard_sd", False),
-            kwargs.pop("thresholds", None),
-            kwargs.pop("scale_factor", 20.0),
-            kwargs.pop("scale_range", (1.0, 0.5)),
-            kwargs.pop("smooth_attentions", True),
-            kwargs.pop("sigma", 0.5),
-            kwargs.pop("kernel_size", 3),
-            kwargs.pop("sd_2_1", False),
-            kwargs.pop("only_update_on_threshold_steps", True),
-            kwargs.pop("sub_prompt_avg_within", False),
-            kwargs.pop("skip_inert_guidance_passes", True),
-            kwargs.pop("diagnostic_level", 0),
-            kwargs.pop("negative_prompt", ""),
-            kwargs.pop("capture_eval_maps", False),
-            kwargs.pop("capture_diagnostics", True),
+        cfg_kw = dict(
+            hp=hp,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            max_iter_to_alter=max_iter_to_alter,
+            attention_res=attention_res,
+            run_standard_sd=run_standard_sd,
+            thresholds=thresholds,
+            scale_factor=scale_factor,
+            scale_range=scale_range,
+            smooth_attentions=smooth_attentions,
+            sigma=sigma,
+            kernel_size=kernel_size,
+            sd_2_1=sd_2_1,
+            only_update_on_threshold_steps=only_update_on_threshold_steps,
+            sub_prompt_avg_within=sub_prompt_avg_within,
+            skip_inert_guidance_passes=skip_inert_guidance_passes,
+            diagnostic_level=diagnostic_level,
+            negative_prompt=negative_prompt,
+            capture_eval_maps=capture_eval_maps,
+            capture_diagnostics=capture_diagnostics,
+            eta=eta,
+            capture_eval_latents=capture_eval_latents,
+            remat_guidance_eval=remat_guidance_eval,
         )
-        if kwargs:
-            raise TypeError(f"unknown generate_batch kwargs: {sorted(kwargs)}")
+
+        def prepare(mp, p, anns):
+            return self._prepare(
+                mp, p, anns, cfg_kw["hp"], cfg_kw["num_inference_steps"],
+                cfg_kw["guidance_scale"], cfg_kw["max_iter_to_alter"],
+                cfg_kw["attention_res"], cfg_kw["run_standard_sd"],
+                cfg_kw["thresholds"], cfg_kw["scale_factor"], cfg_kw["scale_range"],
+                cfg_kw["smooth_attentions"], cfg_kw["sigma"], cfg_kw["kernel_size"],
+                cfg_kw["sd_2_1"], cfg_kw["only_update_on_threshold_steps"],
+                cfg_kw["sub_prompt_avg_within"], cfg_kw["skip_inert_guidance_passes"],
+                cfg_kw["diagnostic_level"], cfg_kw["negative_prompt"],
+                cfg_kw["capture_eval_maps"], cfg_kw["capture_diagnostics"],
+                cfg_kw["eta"], cfg_kw["capture_eval_latents"],
+                cfg_kw["remat_guidance_eval"],
+            )
+
+        per_prompt = meta_prompts is not None
+        if per_prompt:
+            if meta_prompt is not None or prompt is not None or annotations is not None:
+                raise TypeError("pass either meta_prompts (one per seed) or a single meta_prompt/prompt")
+            if len(meta_prompts) != len(seeds):
+                raise ValueError(
+                    f"meta_prompts has {len(meta_prompts)} entries for {len(seeds)} seeds"
+                )
+            prepared = [prepare(mp, None, None) for mp in meta_prompts]
+            hp, _, _, _, statics, sched, arrays, _ = prepared[0]
+            spec = self._stack_specs([p[3] for p in prepared])
+            emb = jnp.stack([p[7] for p in prepared])
+            per_out = [(p[1], p[2], p[3]) for p in prepared]  # (prompt, anns, spec)
+        else:
+            hp, prompt, annotations, spec, statics, sched, arrays, emb = prepare(
+                meta_prompt, prompt, annotations
+            )
+            per_out = [(prompt, annotations, spec)] * len(seeds)
 
         if mesh is None:
             # size the data axis to the largest device count dividing the batch
@@ -404,20 +556,25 @@ class GuidedAttentionPipeline:
         )
 
         hp_key = self._hp_key(hp)
-        cache_key = (statics, hp_key, tuple(mesh.shape.items()))
+        cache_key = (statics, hp_key, tuple(mesh.shape.items()), per_prompt)
         if cache_key not in self._batch_cache:
-            self._batch_cache[cache_key] = build_batch_generate(self.sd, statics, hp, mesh)
+            self._batch_cache[cache_key] = build_batch_generate(
+                self.sd, statics, hp, mesh,
+                per_prompt_emb=per_prompt, per_prompt_spec=per_prompt,
+            )
         gen = self._batch_cache[cache_key]
-        from guided_attention_tpu.parallel.multihost import to_host
 
         with mesh:
             final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
             final, diags = to_host((final, diags))
 
         batch_images = None
-        if decode:
+        if decode and is_primary():
             # ONE batched decode dispatch for the whole seed batch (a per-seed
-            # decode costs a dispatch + pull each, ~0.1 s/seed on remote TPUs)
+            # decode costs a dispatch + pull each, ~0.1 s/seed on remote TPUs).
+            # Multi-process: only the primary host decodes — artifact writing
+            # is host 0's job, and an every-host decode of the full
+            # allgathered batch is duplicated work that grows with host count.
             B = final.shape[0]
             flat = jnp.asarray(final.reshape((B,) + final.shape[2:]))
             batch_images = np.asarray(
@@ -427,18 +584,19 @@ class GuidedAttentionPipeline:
         outputs = []
         for b, seed in enumerate(seeds):
             images = None
-            if decode:
+            if batch_images is not None:
                 # copy: a view would alias every output to one batch buffer
                 # (in-place annotation of one image would corrupt the rest)
                 images = batch_images[b : b + 1].copy()
+            b_prompt, b_anns, b_spec = per_out[b]
             outputs.append(
                 PipelineOutput(
                     images=images,
                     latents=final[b],
                     diagnostics=jax.tree_util.tree_map(lambda x: x[b], diags),
-                    spec=spec,
-                    prompt=prompt,
-                    annotations=annotations,
+                    spec=b_spec,
+                    prompt=b_prompt,
+                    annotations=b_anns,
                 )
             )
         return outputs

@@ -369,10 +369,17 @@ def save_self_attention_npy(pipe, out, step: int = -1, path=None, res: int = 16)
 
 def save_diagnostic_preds(pipe, out, writer: "ArtifactWriter", diagnostic_level: int = 1):
     """Diagnostic-level image snapshots (reference pipeline:937-957,
-    1034-1037): 'pred_pre_optim' x0 estimates from the step-entry latents
-    for every step that evaluated guidance (diag >= 1), and 'xt' latent
-    decodes (diag >= 2). Computed post-hoc from StepDiag.latent_in — the
-    reference burns extra in-loop UNet passes for these."""
+    1034-1037, 517-535): 'pred_pre_optim' x0 estimates for every step that
+    evaluated guidance (diag >= 1) and 'xt' latent decodes (diag >= 2).
+
+    When the run captured per-refinement-slot latents
+    (``capture_eval_latents``), one pred_pre_optim is decoded per (iter,
+    SUBiter) from the latent that entered each refinement evaluation —
+    reference parity with the in-loop per-subiteration saves at
+    pipeline:517-535 (the reference burns a fresh uncond+cond UNet pass per
+    subiter for these; here they are recomputed post-hoc, outside the
+    compiled hot loop). Without the capture flag, one snapshot per step is
+    decoded from the step-entry latents (StepDiag.latent_in)."""
     import jax.numpy as jnp
 
     from guided_attention_tpu.schedulers.ddim import ddim_step, make_ddim_schedule
@@ -384,19 +391,30 @@ def save_diagnostic_preds(pipe, out, writer: "ArtifactWriter", diagnostic_level:
     sched = make_ddim_schedule(S)
     emb = pipe.encode_prompt(out.prompt)
     dtype = pipe.sd.config.unet.dtype
-    for i in range(S):
-        if not d.eval_mask[i].any():
-            continue
-        lat = jnp.asarray(d.latent_in[i])[None].astype(dtype)
+    # real per-slot latents present? (unit placeholder is [S, 1, 1, 1, 1])
+    per_slot = d.eval_latents.ndim == 5 and d.eval_latents.shape[-1] > 1
+
+    def pred_pre_optim(lat, i, subiter):
         pair = jnp.concatenate([lat, lat], axis=0)
         eps, _ = pipe.sd.unet.apply({"params": pipe.sd.params["unet"]}, pair, sched.timesteps[i], emb)
         eps_u, eps_c = eps[0:1], eps[1:2]
         noise = eps_u + 7.5 * (eps_c - eps_u)  # reference hardcodes 7.5 (pipeline:533)
         _prev, x0 = ddim_step(sched, i, noise.astype(jnp.float32), lat.astype(jnp.float32))
         img = np.asarray(pipe.sd.decode_latents(x0.astype(dtype)))[0]
-        fname = (writer.clean + writer._state_name(i, 0) + "_pred_pre_optim").replace(".", "_") + ".png"
+        fname = (writer.clean + writer._state_name(i, subiter) + "_pred_pre_optim").replace(".", "_") + ".png"
         writer.async_writer.submit_image(img, writer.step_dir / fname)
+
+    for i in range(S):
+        if not d.eval_mask[i].any():
+            continue
+        if per_slot:
+            for slot in np.nonzero(d.eval_mask[i])[0]:
+                lat = jnp.asarray(d.eval_latents[i, slot], jnp.float32)[None].astype(dtype)
+                pred_pre_optim(lat, i, int(slot))
+        else:
+            pred_pre_optim(jnp.asarray(d.latent_in[i])[None].astype(dtype), i, 0)
         if diagnostic_level > 1:
+            lat = jnp.asarray(d.latent_in[i])[None].astype(dtype)
             img_xt = np.asarray(pipe.sd.decode_latents(lat))[0]
             fname = (writer.clean + writer._state_name(i, 0) + "_xt").replace(".", "_") + ".png"
             writer.async_writer.submit_image(img_xt, writer.step_dir / fname)

@@ -275,3 +275,16 @@ def test_self_attn_clusters_viewer(artifacts, tmp_path):
     cluster_self_attention(str(npy), k_range=range(2, 4), save_dir=str(tmp_path))
     assert (tmp_path / "clusters_k2.png").exists()
     assert (tmp_path / "inertia.png").exists() or list(tmp_path.glob("*.png"))
+
+
+def test_per_subiter_pred_pre_optim_snapshots(artifacts):
+    """diag>=1 now saves a pred_pre_optim x0 image per refinement
+    SUBiteration (reference in-loop saves, pipeline:517-535), decoded
+    post-hoc from the per-slot latents the run captured
+    (capture_eval_latents, wired by cli.run_kwargs at diagnostic_level>0)."""
+    _, _, out_dir, _ = artifacts
+    preds = [p.name for p in Path(out_dir).rglob("*pred_pre_optim*.png")]
+    assert preds, "no pred_pre_optim snapshots written"
+    subiters = {n.split("_subiter_")[1][:2] for n in preds if "_subiter_" in n}
+    # the step-0 threshold run several refinement evals -> several subiters
+    assert len(subiters) >= 2, f"expected per-subiter snapshots, got {sorted(subiters)}"

@@ -70,3 +70,76 @@ def test_batch_guided_over_dp_tp_mesh(pipe, shape):
         assert np.isfinite(o.latents).all()
         assert o.diagnostics.refine_iters[0] > 0  # guidance ran per sample
     assert not np.array_equal(outs[0].latents, outs[1].latents)
+
+
+def test_tp_matches_single_device_standard_sd(pipe):
+    """Tensor-parallel equivalence, not just finiteness (round-2 verdict):
+    the Megatron TP rules must reproduce the single-device result."""
+    single = pipe(meta_prompt="a dog", seed=9, num_inference_steps=2, run_standard_sd=True)
+    tp = pipe.generate_batch(
+        [9], meta_prompt="a dog", mesh=make_mesh({"data": 1, "tensor": 2}),
+        num_inference_steps=2, run_standard_sd=True,
+    )
+    np.testing.assert_allclose(tp[0].latents, single.latents, atol=1e-4)
+
+
+def test_tp_matches_dp_guided(pipe):
+    """Guided 2-step trajectory under tp2 vs the dp-only batch engine.
+    Guidance amplifies float-level reduction-order differences through the
+    threshold branches, hence the looser tolerance."""
+    kw = dict(meta_prompt="a [dog:.2,.3] x", num_inference_steps=2, thresholds={0: 0.5})
+    dp = pipe.generate_batch([5], mesh=make_mesh({"data": 1}), **kw)
+    tp = pipe.generate_batch([5], mesh=make_mesh({"data": 1, "tensor": 2}), **kw)
+    assert tp[0].diagnostics.refine_iters[0] > 0
+    np.testing.assert_allclose(tp[0].latents, dp[0].latents, atol=5e-3)
+
+
+def test_multi_prompt_batch_matches_singles(pipe):
+    """BASELINE config 5 'multi-prompt generation': per-sample prompts in one
+    sharded program; each sample must match its own single-sample run."""
+    mesh = make_mesh({"data": 4})
+    prompts = ["a dog", "a dog", "a cat", "a cat"]
+    outs = pipe.generate_batch(
+        [1, 2, 1, 2], meta_prompts=prompts, mesh=mesh,
+        num_inference_steps=2, run_standard_sd=True,
+    )
+    assert [o.prompt for o in outs] == prompts
+    single_dog = pipe(meta_prompt="a dog", seed=1, num_inference_steps=2, run_standard_sd=True)
+    single_cat = pipe(meta_prompt="a cat", seed=1, num_inference_steps=2, run_standard_sd=True)
+    np.testing.assert_allclose(outs[0].latents, single_dog.latents, atol=1e-4)
+    np.testing.assert_allclose(outs[2].latents, single_cat.latents, atol=1e-4)
+    # same seed, different prompt -> different image
+    assert not np.array_equal(outs[0].latents, outs[2].latents)
+    # same prompt, different seed -> different image
+    assert not np.array_equal(outs[0].latents, outs[1].latents)
+
+
+def test_multi_prompt_batch_guided(pipe):
+    """Guided multi-prompt: per-prompt specs (different BOX geometry) steer
+    each sample independently inside the one compiled program."""
+    mesh = make_mesh({"data": 2})
+    outs = pipe.generate_batch(
+        [5, 5],
+        meta_prompts=["a [dog:.1,.1,.3,.3] x", "a [dog:.6,.6,.3,.3] x"],
+        mesh=mesh, num_inference_steps=2, thresholds={0: 0.5},
+    )
+    for o in outs:
+        assert np.isfinite(o.latents).all()
+        assert o.diagnostics.refine_iters[0] > 0
+    # same seed, different target geometry -> different trajectories
+    assert not np.array_equal(outs[0].latents, outs[1].latents)
+    # per-output metadata is per-prompt
+    assert outs[0].annotations[0].target != outs[1].annotations[0].target
+
+
+def test_multi_prompt_batch_misuse_errors(pipe):
+    with pytest.raises(TypeError):
+        pipe.generate_batch([1], meta_prompt="a dog", meta_prompts=["a dog"])
+    with pytest.raises(ValueError):
+        pipe.generate_batch([1, 2], meta_prompts=["a dog"])
+    with pytest.raises(ValueError):  # group-structure mismatch: 1 vs 2 groups
+        pipe.generate_batch(
+            [1, 2],
+            meta_prompts=["a [dog:.2,.3] x", "a [dog:.2,.3] and a [cat:.6,.6] x"],
+            num_inference_steps=2,
+        )

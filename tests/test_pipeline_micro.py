@@ -236,3 +236,71 @@ def test_attention_res_32_end_to_end():
     assert d.refine_iters[0] > 0
     assert np.isfinite(out.latents).all()
     assert out.spec.inside_mask.shape[1:] == (32, 32)
+
+
+def test_eta_knob_end_to_end(pipe):
+    """eta threads through runner -> GenStatics -> ddim_step: eta>0 changes
+    the trajectory (stochastic variance added), stays finite/deterministic
+    per seed, and eta=0 keeps the default program (same cached statics)."""
+    kw = dict(meta_prompt="a dog and a cat", seed=3, num_inference_steps=4, run_standard_sd=True)
+    base = pipe(**kw)
+    zero = pipe(**kw, eta=0.0)
+    np.testing.assert_array_equal(base.latents, zero.latents)
+    stoch = pipe(**kw, eta=1.0)
+    assert np.isfinite(stoch.latents).all()
+    assert not np.array_equal(base.latents, stoch.latents)
+    stoch2 = pipe(**kw, eta=1.0)
+    np.testing.assert_array_equal(stoch.latents, stoch2.latents)
+
+
+def test_capture_eval_latents_per_subiter(pipe):
+    """Per-refinement-slot latents feed per-SUBiter pred_pre_optim artifacts
+    (reference saves one per subiteration at diag>0, pipeline:517-535).
+
+    recurse_steps=1 pins the slot-0 == step-entry identity; with recursion,
+    the captured buffers come from the LAST executed re-noise pass (whose
+    working latents went through renoise), matching which eval results the
+    reference's final recursion leaves behind."""
+    from guided_attention_tpu.config import HyperParams
+
+    out = pipe(
+        meta_prompt=META, seed=1, num_inference_steps=2, thresholds={0: 0.5},
+        hp=HyperParams(recurse_steps=1), capture_eval_latents=True,
+    )
+    d = out.diagnostics
+    assert d.eval_latents.shape == (2, 12, 16, 16, 4)  # [S, R_sub, h, w, C]
+    slots = np.nonzero(d.eval_mask[0])[0]
+    assert len(slots) >= 2  # eval0 + at least one refinement/final slot
+    # slot 0 is eval0: its latent IS the step-entry latent (normal mode)
+    np.testing.assert_array_equal(
+        d.eval_latents[0, 0], d.latent_in[0].astype(np.float16)
+    )
+    # refinement updated the latent between slots
+    assert not np.array_equal(d.eval_latents[0, slots[0]], d.eval_latents[0, slots[-1]])
+    # default: unit placeholder (no buffer cost)
+    out2 = pipe(meta_prompt=META, seed=1, num_inference_steps=2, thresholds={0: 0.5})
+    assert out2.diagnostics.eval_latents.shape[1:] == (1, 1, 1, 1)
+
+
+def test_dispatch_matches_call(pipe):
+    """The async dispatch/result split is semantically identical to __call__
+    (it only defers the device->host pull)."""
+    kw = dict(meta_prompt=META, seed=4, num_inference_steps=2, thresholds={0: 0.5})
+    # issue two dispatches back-to-back before pulling either (the CLI's
+    # depth-2 pipelined sweep shape)
+    p1 = pipe.dispatch(**kw)
+    p2 = pipe.dispatch(meta_prompt=META, seed=5, num_inference_steps=2, thresholds={0: 0.5})
+    out1, out2 = p1.result(), p2.result()
+    serial = pipe(**kw)
+    np.testing.assert_array_equal(out1.latents, serial.latents)
+    np.testing.assert_array_equal(out1.images, serial.images)
+    assert not np.array_equal(out1.latents, out2.latents)
+
+
+def test_remat_guidance_eval_matches(pipe):
+    """jax.checkpoint on the guidance eval changes memory scheduling only —
+    the recomputed forward is the same math, so the trajectory matches."""
+    kw = dict(meta_prompt=META, seed=6, num_inference_steps=2, thresholds={0: 0.5})
+    base = pipe(**kw)
+    remat = pipe(**kw, remat_guidance_eval=True)
+    np.testing.assert_allclose(remat.latents, base.latents, atol=1e-4)
