@@ -73,14 +73,65 @@ def main():
 
     assert out.images is not None and out.images.shape[-1] == 3
     d = out.diagnostics
+
+    # pipelined seed sweep: issue run i+1 BEFORE pulling run i (JAX arrays
+    # are futures) — the sustained s/image a CLI sweep actually achieves,
+    # with the host tail (dispatch + pull) overlapped with device compute
+    def dispatch(seed):
+        return pipe.dispatch(
+            meta_prompt=META_PROMPT, seed=seed, num_inference_steps=steps,
+            decode=True, capture_diagnostics=False,
+        )
+
+    sweep_seeds = (101, 102, 103, 104, 105)
+    t0 = time.time()
+    pending = dispatch(sweep_seeds[0])
+    for s in sweep_seeds[1:]:
+        nxt = dispatch(s)
+        pending.result()
+        pending = nxt
+    pending.result()
+    sweep_s = (time.time() - t0) / len(sweep_seeds)
+
+    # MFU: analytic executed-FLOPs from this run's own control-flow counters
+    # (runtime/flops.py, validated vs XLA cost_analysis in tests/test_flops.py)
+    from guided_attention_tpu.runtime.flops import (
+        V5E_BF16_PEAK_FLOPS, generation_flops, mfu, unet_forward_flops,
+    )
+
+    gen_fl = generation_flops(pipe.sd.config.unet, d, steps)
     info = {
         "build_s": round(build_s, 1),
         "warmup_s": round(warm_s, 1),
         "times": [round(t, 3) for t in times],
+        "sweep_s_per_image": round(sweep_s, 3),
         "refine_iters_step0": int(d.refine_iters[0]),
         "recursions_step0": int(d.recursions[0]),
+        "unet_fwd_gflops": round(unet_forward_flops(pipe.sd.config.unet) / 1e9, 1),
+        "generation_tflops": round(gen_fl / 1e12, 2),
+        "mfu_pct_vs_v5e_peak": round(100 * mfu(gen_fl, sec, V5E_BF16_PEAK_FLOPS), 1),
         "device": str(jax.devices()[0]),
     }
+
+    # batch-8 amortized throughput (the number that projects to the v5e-4
+    # target; PERF.md seed-batch table) — best-effort, skipped on any error
+    if not quick and "--single-only" not in sys.argv:
+        try:
+            bseeds = list(range(201, 209))
+            pipe.generate_batch(  # warmup/compile
+                bseeds, meta_prompt=META_PROMPT, num_inference_steps=steps,
+                capture_diagnostics=False,
+            )
+            t0 = time.time()
+            outs = pipe.generate_batch(
+                [s + 50 for s in bseeds], meta_prompt=META_PROMPT,
+                num_inference_steps=steps, capture_diagnostics=False,
+            )
+            assert outs[0].images is not None
+            info["batch8_s_per_image"] = round((time.time() - t0) / len(bseeds), 3)
+        except Exception as e:  # noqa: BLE001 — throughput info is best-effort
+            info["batch8_error"] = repr(e)[:200]
+
     print(json.dumps(info), file=sys.stderr)
     metric = (
         "sec/image (SMOKE: micro model, 4 steps)"

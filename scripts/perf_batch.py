@@ -7,6 +7,9 @@ the data axis.
 
 --remat: jax.checkpoint the guidance eval (recompute its forward in the
 backward) — the HBM-pressure experiment for batch >= 16.
+--multi: alternate two meta-prompts across the batch (per-sample specs +
+embeddings in the one compiled program — BASELINE config 5's multi-prompt
+generation at SD scale).
 """
 from __future__ import annotations
 
@@ -28,12 +31,14 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 META = "a [robot:.6,.3,.4,.55] and a [blue vase:0,.3,.4,.55]"
+META2 = "a [robot:0,.1,.45,.5] and a [blue vase:.55,.4,.4,.5]"
 
 
 def main():
     args = sys.argv[1:]
     remat = "--remat" in args
-    sizes = [int(a) for a in args if a != "--remat"] or [4, 8]
+    multi = "--multi" in args
+    sizes = [int(a) for a in args if not a.startswith("--")] or [4, 8]
 
     from guided_attention_tpu.models.bundle import StableDiffusion
     from guided_attention_tpu.runner import GuidedAttentionPipeline
@@ -45,7 +50,11 @@ def main():
 
     for B in sizes:
         try:
-            kw = dict(meta_prompt=META, capture_diagnostics=False, remat_guidance_eval=remat)
+            kw = dict(capture_diagnostics=False, remat_guidance_eval=remat)
+            if multi:
+                kw["meta_prompts"] = [META, META2] * (B // 2) + [META] * (B % 2)
+            else:
+                kw["meta_prompt"] = META
             t0 = time.time()
             pipe.generate_batch(list(range(100, 100 + B)), **kw)
             warm = time.time() - t0
@@ -57,7 +66,7 @@ def main():
                 times.append(time.time() - t0)
             best = min(times)
             assert outs[0].images is not None
-            tag = " [remat]" if remat else ""
+            tag = (" [remat]" if remat else "") + (" [multi-prompt]" if multi else "")
             print(
                 f"batch {B}{tag}: {best/B:.3f} s/image amortized "
                 f"({best:.2f} s/batch, warmup {warm:.1f}s, walls {[round(t,2) for t in times]})"

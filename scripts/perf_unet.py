@@ -47,6 +47,19 @@ def main():
         ucfg = dataclasses.replace(ucfg, norm_dtype=jnp.bfloat16)
     if "--flash_all" in sys.argv:  # flash at every self-attn resolution
         ucfg = dataclasses.replace(ucfg, flash_min_seq=256)
+    if "--upsample_repeat" in sys.argv:
+        # nearest-neighbor 2x upsample as broadcast+reshape (jnp.repeat)
+        # instead of jax.image.resize's gather — feeds the 32/64-res convs
+        import jax.image as jimage
+
+        _orig_resize = jimage.resize
+
+        def resize_repeat(x, shape, method="nearest", **kw):
+            if method == "nearest" and len(shape) == 4 and shape[1] == 2 * x.shape[1]:
+                return x.repeat(2, axis=1).repeat(2, axis=2)
+            return _orig_resize(x, shape, method, **kw)
+
+        jimage.resize = resize_repeat
     if "--fused_cross" in sys.argv:
         # route non-captured long-seq cross-attn (the CFG pass) through the
         # fused Pallas kernel, discarding its map side-output
@@ -78,6 +91,10 @@ def main():
         # measure the batch-engine block (the single-sample default is the
         # ~8%-faster 128, UNetConfig.flash_bwd_block)
         ucfg = dataclasses.replace(ucfg, flash_bwd_block=64)
+        bwd_mode = True
+    if "--bwd_block" in sys.argv:  # e.g. --bwd_block 256
+        blk = int(sys.argv[sys.argv.index("--bwd_block") + 1])
+        ucfg = dataclasses.replace(ucfg, flash_bwd_block=blk)
         bwd_mode = True
     unet = UNet2DCondition(ucfg)
     params = sd.params["unet"]
