@@ -43,7 +43,20 @@ assert np.isfinite(lat).all()
 assert lat.shape[0] == 4  # every host sees the FULL batch after allgather
 assert all(o.diagnostics.refine_iters[0] > 0 for o in outs)
 assert multihost.is_primary() == (pid == 0)
-print("CHECKSUM", pid, "%%.6f" %% float(np.abs(lat).sum()), flush=True)
+
+# multi-prompt across processes: every host passes the FULL per-prompt
+# emb/spec batch; _to_global must slice them by the local batch before
+# gluing (parallel/batch.py) or the global batch would be B*nprocs
+mouts = pipe.generate_batch(
+    [1, 2, 1, 2],
+    meta_prompts=["a [dog:.1,.1,.4,.4] x"] * 2 + ["a [dog:.5,.5,.4,.4] x"] * 2,
+    mesh=mesh, num_inference_steps=2, thresholds={0: 0.5}, decode=False,
+)
+mlat = np.stack([o.latents for o in mouts])
+assert mlat.shape[0] == 4 and np.isfinite(mlat).all()
+# same seed, different BOX geometry -> different trajectories
+assert not np.array_equal(mlat[0], mlat[2])
+print("CHECKSUM", pid, "%%.6f %%.6f" %% (float(np.abs(lat).sum()), float(np.abs(mlat).sum())), flush=True)
 """ % (REPO,)
 
 
@@ -78,8 +91,8 @@ def test_two_process_generate_batch(tmp_path):
     for out in outs:
         for line in out.splitlines():
             if line.startswith("CHECKSUM"):
-                _, pid, val = line.split()
-                sums[pid] = val
+                parts = line.split()
+                sums[parts[1]] = " ".join(parts[2:])
     assert set(sums) == {"0", "1"}, outs
     # both hosts gathered the same full batch
     assert sums["0"] == sums["1"], sums
