@@ -99,6 +99,16 @@ def get_indices_to_alter(pipe, prompt: str) -> List[int]:
     return token_indices
 
 
+def state_prompts(config: RunConfig, hp: HyperParams) -> List[str]:
+    """Meta-prompts for one sweep state. Precedence parity (reference
+    run.py:75-79): a state's meta_prompt override outranks config-level
+    prompts (including --meta_prompts); otherwise the CLI grid of
+    --meta_prompts (or the single --meta_prompt) applies."""
+    if hp.meta_prompt:
+        return [hp.meta_prompt]
+    return list(config.meta_prompts) if config.meta_prompts else [config.meta_prompt]
+
+
 def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[str, Any]]] = None):
     """Seeds x hyperparameter sweep with artifact output
     (reference run.py:93-135)."""
@@ -144,7 +154,7 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     work = []
     if config.batch_size > 1:
         for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
-            prompts = config.meta_prompts or [hp.meta_prompt or config.meta_prompt]
+            prompts = state_prompts(config, hp)
             # (prompt x seed) grid, chunked into sharded batches; with
             # multiple prompts each batch is a MULTI-PROMPT program
             # (BASELINE config 5) — per-sample specs/embeddings, one compile
@@ -170,12 +180,11 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
         # results — JAX arrays are futures, so seed i's host tail (dispatch +
         # device->host transfer, ~0.1-0.2 s on remote TPUs) overlaps seed
         # i+1's device compute. Semantically identical to the serial loop.
-        prompts = config.meta_prompts or [None]
         runs = [
-            (cli_mp or hp.meta_prompt or config.meta_prompt, seed, hp)
-            for cli_mp in prompts
+            (mp, seed, hp)
             for seed in config.seeds
             for hp in get_hyperparam_states(base_hp, hyperparam_iterations)
+            for mp in state_prompts(config, hp)
         ]
         pending = None
         for meta_prompt, seed, hp in runs:

@@ -139,7 +139,8 @@ class StepDiag:
     col: jnp.ndarray  # [K]
     row: jnp.ndarray  # [K]
     max_attn: jnp.ndarray  # [K]
-    refine_iters: jnp.ndarray  # int32
+    refine_iters: jnp.ndarray  # int32 — last recursion's refinement subiters
+    n_evals: jnp.ndarray  # int32 — guidance fwd+bwd evals, CUMULATIVE over recursions
     did_update: jnp.ndarray  # bool
     recursions: jnp.ndarray  # int32
     latent_mean: jnp.ndarray  # [C]
@@ -326,7 +327,8 @@ def build_generate_raw(
                 return c[0] < PH_DONE
 
             def loop_body(c):
-                (phase, n_ref, v, needs, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, lbuf, vel) = c
+                (phase, n_ref, n_ev, v, needs, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, lbuf, vel) = c
+                n_ev = n_ev + 1  # every body iteration is one guidance fwd+bwd
                 (loss, aux), grad = guidance_eval(latents, t, gate, v)
                 first = phase == PH_EVAL0
                 refining = phase == PH_REFINE
@@ -400,10 +402,11 @@ def build_generate_raw(
                         ),
                     ),
                 )
-                return (phase2, n_ref2, v2, needs2, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, lbuf, vel2)
+                return (phase2, n_ref2, n_ev, v2, needs2, a0, l_fin, g_fin, a_fin, buf, mask, mbuf, lbuf, vel2)
 
             init = (
                 jnp.int32(PH_EVAL0),
+                jnp.int32(0),
                 jnp.int32(0),
                 var,
                 jnp.asarray(False),
@@ -420,6 +423,7 @@ def build_generate_raw(
             (
                 _phase,
                 refine_iters,
+                n_evals,
                 var1,
                 needs_refine,
                 aux0,
@@ -453,8 +457,8 @@ def build_generate_raw(
             # only the refinement call sets it (:514), so an apply-only deep
             # update is computed but NOT injected that step
             if deep_mode:
-                return latents, var2, did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats
-            return var2, _zero_deep(), did_update, needs_refine, loss1, aux1, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats
+                return latents, var2, did_update, needs_refine, loss1, aux1, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats
+            return var2, _zero_deep(), did_update, needs_refine, loss1, aux1, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats
 
         def _cfg_eps(latents, t, gate, deep_inject=None, deep_gate=None):
             if do_cfg:
@@ -494,6 +498,7 @@ def build_generate_raw(
                 jnp.zeros(()),  # loss
                 zero_eval_aux(),
                 jnp.int32(0),  # refine_iters
+                jnp.int32(0),  # n_evals
                 jnp.zeros((R_sub, K)),
                 jnp.zeros((R_sub,), bool),
                 _zero_eval_maps(),
@@ -511,16 +516,16 @@ def build_generate_raw(
                 def skip(lat):
                     return (lat,) + zero_guidance_outputs()
 
-                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats = jax.lax.cond(
+                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats = jax.lax.cond(
                     pred, run, skip, latents
                 )
             else:
-                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats = (
+                lat2, deep, did_update, entered_refine, loss, aux, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats = (
                     latents,
                 ) + zero_guidance_outputs()
             prev, x0 = cfg_and_step(lat2, i, t, gate, deep, entered_refine, eta_key)
             # scheduler math runs fp32; the carried latent keeps the compute dtype
-            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats
+            return prev.astype(latents.dtype), x0, did_update, loss, aux, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats
 
         def step(carry, i):
             latents, key = carry
@@ -545,16 +550,17 @@ def build_generate_raw(
 
                 def recur_body(c):
                     r, done, work, out, pack = c
-                    prev, x0, did_update, loss, aux, ri, ebuf, emask, emaps, elats = one_pass(
+                    prev, x0, did_update, loss, aux, ri, nev, ebuf, emask, emaps, elats = one_pass(
                         work, i, t, gate, eta_key_for(r)
                     )
+                    nev_cum = pack[5] + nev  # evals accumulate over recursions
                     done2 = jnp.logical_or(
                         jnp.logical_or(i > recurse_until, ~did_update),
                         r + 1 >= recurse_steps,
                     )
                     key_r = jax.random.fold_in(jax.random.fold_in(key, i), r)
                     work2 = renoise(sched, i, prev, key_r)
-                    pack2 = (x0, did_update, loss, aux, ri, ebuf, emask, emaps, elats, r + 1)
+                    pack2 = (x0, did_update, loss, aux, ri, nev_cum, ebuf, emask, emaps, elats, r + 1)
                     return (r + 1, done2, work2, prev, pack2)
 
                 x0_0 = jnp.zeros_like(latents, jnp.float32)
@@ -563,6 +569,7 @@ def build_generate_raw(
                     jnp.asarray(False),
                     jnp.zeros(()),
                     zero_eval_aux(),
+                    jnp.int32(0),
                     jnp.int32(0),
                     jnp.zeros((R_sub, K)),
                     jnp.zeros((R_sub,), bool),
@@ -573,9 +580,9 @@ def build_generate_raw(
                 _r, _done, _work, prev, pack = jax.lax.while_loop(
                     recur_cond, recur_body, (jnp.int32(0), jnp.asarray(False), latents, latents, pack0)
                 )
-                x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats, recursions = pack
+                x0, did_update, loss, aux, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats, recursions = pack
             else:
-                prev, x0, did_update, loss, aux, refine_iters, eval_buf, eval_mask, eval_maps, eval_lats = one_pass(
+                prev, x0, did_update, loss, aux, refine_iters, n_evals, eval_buf, eval_mask, eval_maps, eval_lats = one_pass(
                     latents, i, t, gate, eta_key_for()
                 )
                 recursions = jnp.int32(1)
@@ -594,6 +601,7 @@ def build_generate_raw(
                     row=jnp.zeros((1,)),
                     max_attn=jnp.zeros((1,)),
                     refine_iters=refine_iters,
+                    n_evals=n_evals,
                     did_update=did_update,
                     recursions=recursions,
                     latent_mean=jnp.zeros((1,)),
@@ -622,6 +630,7 @@ def build_generate_raw(
                 row=aux["row"],
                 max_attn=aux["max_attn"],
                 refine_iters=refine_iters,
+                n_evals=n_evals,
                 did_update=did_update,
                 recursions=recursions,
                 latent_mean=jnp.mean(lat_f32, axis=(0, 1, 2)),

@@ -495,6 +495,13 @@ class GuidedAttentionPipeline:
         The batch axis shards over the mesh's "data" axis; UNet params
         follow the TP rules when the mesh has a "tensor" axis.
 
+        Multi-process: only the primary host decodes (images is None on
+        processes 1..N-1 — artifact writing is host 0's job; an every-host
+        decode of the allgathered batch is duplicated work). Latents and
+        diagnostics are full on every host. Multi-prompt note: the first
+        call encodes each distinct prompt with its own CLIP dispatch
+        (~60 ms each over a remote tunnel); repeats hit the _prepare cache.
+
         Note: results are deterministic per path but not bitwise identical
         to the single-sample path — vmap/TP change op fusion order, and
         guided trajectories amplify those float-level differences through

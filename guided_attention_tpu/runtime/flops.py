@@ -179,10 +179,11 @@ def unet_eval_flops(cfg: UNetConfig, capture_res: int = 16, batch: int = 1, ctx_
 def generation_flops(cfg: UNetConfig, diags, num_steps: int, cfg_batch: int = 2,
                      capture_res: int = 16) -> float:
     """Total executed UNet FLOPs of one guided generation, from the run's
-    own control-flow counters (StepDiag): per executed recursion, eval0 +
-    refinement evals + final forward (each a cond-only TRUNCATED fwd+bwd,
-    ~= 3x the truncated forward by the standard backprop 2x rule — the tail
-    past the last captured map is dead-code-eliminated) + one full CFG pass.
+    own control-flow counters (StepDiag): ``n_evals`` guidance evals per
+    step (the exact in-loop count, cumulative over re-noise recursions —
+    each a cond-only TRUNCATED fwd+bwd, ~= 3x the truncated forward by the
+    standard backprop 2x rule; the tail past the last captured map is
+    dead-code-eliminated) + one full CFG pass per executed recursion.
     CLIP/VAE are omitted (<1% of a 50-step generation).
     """
     import numpy as np
@@ -190,14 +191,11 @@ def generation_flops(cfg: UNetConfig, diags, num_steps: int, cfg_batch: int = 2,
     fwd = unet_forward_flops(cfg, batch=1)
     ev = unet_eval_flops(cfg, capture_res, batch=1)
     total = 0.0
-    refine = np.asarray(diags.refine_iters)
+    n_evals = np.asarray(diags.n_evals)
     recur = np.asarray(diags.recursions)
     for i in range(num_steps):
         r = max(int(recur[i]), 1)
-        evals = 0
-        if int(refine[i]) > 0:
-            evals = 1 + int(refine[i]) + 1  # eval0 + subiters + final
-        total += r * (evals * 3.0 * ev + cfg_batch * fwd)
+        total += int(n_evals[i]) * 3.0 * ev + r * cfg_batch * fwd
     return total
 
 

@@ -59,13 +59,13 @@ def test_eval_flops_truncation_monotone():
 def test_generation_flops_from_counters():
     cfg = micro_config().unet
 
-    class D:  # minimal StepDiag stand-in
-        refine_iters = np.array([5, 0])
+    class D:  # minimal StepDiag stand-in: n_evals is cumulative over recursions
+        n_evals = np.array([21, 0])  # e.g. 3 recursions x (eval0 + 5 refine + final)
         recursions = np.array([3, 1])
 
     total = generation_flops(cfg, D, 2)
     fwd = unet_forward_flops(cfg)
     ev = unet_eval_flops(cfg, 16)
-    want = 3 * ((1 + 5 + 1) * 3.0 * ev + 2 * fwd) + (0 + 2 * fwd)
+    want = (21 * 3.0 * ev + 3 * 2 * fwd) + (0 + 2 * fwd)
     assert total == pytest.approx(want)
     assert mfu(197e12, 1.0) == pytest.approx(1.0)

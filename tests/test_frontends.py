@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from guided_attention_tpu.config import RunConfig
+from guided_attention_tpu.config import HyperParams, RunConfig
 from guided_attention_tpu.frontends import cli
 from guided_attention_tpu.models.bundle import StableDiffusion
 from guided_attention_tpu.runner import GuidedAttentionPipeline
@@ -288,3 +288,14 @@ def test_per_subiter_pred_pre_optim_snapshots(artifacts):
     subiters = {n.split("_subiter_")[1][:2] for n in preds if "_subiter_" in n}
     # the step-0 threshold run several refinement evals -> several subiters
     assert len(subiters) >= 2, f"expected per-subiter snapshots, got {sorted(subiters)}"
+
+
+def test_state_prompts_precedence():
+    """Sweep-state meta_prompt > --meta_prompts > --meta_prompt
+    (reference precedence: request > grid state > RunConfig, run.py:75-79)."""
+    cfg = RunConfig(meta_prompt="base")
+    assert cli.state_prompts(cfg, HyperParams()) == ["base"]
+    cfg2 = RunConfig(meta_prompt="base", meta_prompts=["p1", "p2"])
+    assert cli.state_prompts(cfg2, HyperParams()) == ["p1", "p2"]
+    hp = HyperParams(meta_prompt="state-level")
+    assert cli.state_prompts(cfg2, hp) == ["state-level"]

@@ -304,3 +304,15 @@ def test_remat_guidance_eval_matches(pipe):
     base = pipe(**kw)
     remat = pipe(**kw, remat_guidance_eval=True)
     np.testing.assert_allclose(remat.latents, base.latents, atol=1e-4)
+
+
+def test_n_evals_counter(guided_out):
+    """StepDiag.n_evals counts every guidance fwd+bwd, cumulative over
+    re-noise recursions (feeds runtime/flops.generation_flops — the MFU
+    numerator must not undercount eval0/final or earlier recursions)."""
+    d = guided_out.diagnostics
+    # last recursion alone ran eval0 + refine_iters + final
+    assert d.n_evals[0] >= d.refine_iters[0] + 2
+    # 3 recursions ran; each executed at least one eval
+    assert d.n_evals[0] >= d.recursions[0]
+    assert (d.n_evals[1:] == 0).all()  # steps 1+ are inert under {0: thr}
