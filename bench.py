@@ -64,12 +64,16 @@ def main():
 
     # min over repetitions: the remote-tunnel host adds multi-second jitter
     # (observed 2.4-4.9 s for identical code across runs)
-    times = []
+    times, runs = [], []
     for i, seed in enumerate((28, 42, 7, 3, 11)):
         t0 = time.time()
         out = run(seed)
         times.append(time.time() - t0)
+        runs.append(out)
     sec = min(times)
+    # MFU numerator and denominator must come from the SAME run: eval counts
+    # are seed-dependent (the refinement while_loop exits on threshold)
+    out = runs[times.index(sec)]
 
     assert out.images is not None and out.images.shape[-1] == 3
     d = out.diagnostics

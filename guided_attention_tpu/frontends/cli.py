@@ -153,28 +153,40 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     # mesh (the reference loops seeds serially, run.py:97-98).
     work = []
     if config.batch_size > 1:
-        for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
-            prompts = state_prompts(config, hp)
-            # (prompt x seed) grid, chunked into sharded batches; with
-            # multiple prompts each batch is a MULTI-PROMPT program
-            # (BASELINE config 5) — per-sample specs/embeddings, one compile
-            pairs = [(mp, s) for mp in prompts for s in config.seeds]
-            for lo in range(0, len(pairs), config.batch_size):
-                chunk = pairs[lo : lo + config.batch_size]
-                chunk_seeds = [s for _, s in chunk]
-                chunk_prompts = [mp for mp, _ in chunk]
-                print(f"Seeds (sharded batch): {chunk_seeds}")
-                if len(set(chunk_prompts)) == 1:
-                    outs = pipe.generate_batch(
-                        chunk_seeds, meta_prompt=chunk_prompts[0], **run_kwargs(hp)
-                    )
-                else:
-                    outs = pipe.generate_batch(
-                        chunk_seeds, meta_prompts=chunk_prompts, **run_kwargs(hp)
-                    )
-                work.extend(
-                    (s, hp, mp, o) for (mp, s), o in zip(chunk, outs)
+        # (prompt x seed) grid per sweep state, chunked into sharded batches;
+        # with multiple prompts each batch is a MULTI-PROMPT program (BASELINE
+        # config 5) — per-sample specs/embeddings, one compile. Chunks
+        # pipeline at depth 2 (dispatch chunk i+1 before pulling chunk i),
+        # overlapping the host tail with device compute like the single path.
+        chunks = [
+            (hp, pairs[lo : lo + config.batch_size])
+            for hp in get_hyperparam_states(base_hp, hyperparam_iterations)
+            for pairs in [[(mp, s) for mp in state_prompts(config, hp) for s in config.seeds]]
+            for lo in range(0, len(pairs), config.batch_size)
+        ]
+
+        def drain_batch(item):
+            hp, chunk, pb = item
+            work.extend((s, hp, mp, o) for (mp, s), o in zip(chunk, pb.result()))
+
+        pending = None
+        for hp, chunk in chunks:
+            chunk_seeds = [s for _, s in chunk]
+            chunk_prompts = [mp for mp, _ in chunk]
+            print(f"Seeds (sharded batch): {chunk_seeds}")
+            if len(set(chunk_prompts)) == 1:
+                pb = pipe.dispatch_batch(
+                    chunk_seeds, meta_prompt=chunk_prompts[0], **run_kwargs(hp)
                 )
+            else:
+                pb = pipe.dispatch_batch(
+                    chunk_seeds, meta_prompts=chunk_prompts, **run_kwargs(hp)
+                )
+            if pending is not None:
+                drain_batch(pending)
+            pending = (hp, chunk, pb)
+        if pending is not None:
+            drain_batch(pending)
     else:
         # depth-2 pipelined sweep: dispatch run i+1 BEFORE pulling run i's
         # results — JAX arrays are futures, so seed i's host tail (dispatch +
@@ -186,17 +198,19 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             for hp in get_hyperparam_states(base_hp, hyperparam_iterations)
             for mp in state_prompts(config, hp)
         ]
+        def drain(item):
+            s, h, mp, p = item
+            work.append((s, h, mp, p.result()))
+
         pending = None
         for meta_prompt, seed, hp in runs:
             print(f"Seed: {seed}")
             nxt = (seed, hp, meta_prompt, pipe.dispatch(meta_prompt=meta_prompt, seed=seed, **run_kwargs(hp)))
             if pending is not None:
-                s, h, mp, p = pending
-                work.append((s, h, mp, p.result()))
+                drain(pending)
             pending = nxt
         if pending is not None:
-            s, h, mp, p = pending
-            work.append((s, h, mp, p.result()))
+            drain(pending)
 
     if not work:  # empty --seeds: nothing generated, nothing to grid
         return None

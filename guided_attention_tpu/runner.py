@@ -95,6 +95,128 @@ class PendingOutput:
         )
 
 
+def _hp_key(hp: HyperParams):
+    return tuple(
+        tuple(sorted(v.items())) if isinstance(v, dict) else v
+        for v in dataclasses.asdict(hp).values()
+    )
+
+
+# PrepareOptions fields that need bespoke handling in cache_key (everything
+# else is hashable as-is and keyed generically from the field list)
+_UNHASHABLE_OPTS = ("annotations", "hp", "thresholds", "scale_range")
+
+
+@dataclasses.dataclass(frozen=True)
+class PrepareOptions:
+    """Every knob that shapes one prepared generation (the parsed spec,
+    GenStatics, schedule, step arrays, and prompt embedding).
+
+    Single source of truth: defaults live here, the public
+    ``dispatch``/``generate_batch`` signatures mirror them (reference
+    keyword surface, pipeline_guided_attention.py:746-806), and
+    ``cache_key`` derives the prepare-cache identity from the field list
+    itself — a new knob cannot be forgotten in the key."""
+
+    meta_prompt: Optional[str] = None
+    prompt: Optional[str] = None
+    annotations: Optional[List[Annotation]] = None
+    hp: Optional[HyperParams] = None
+    num_inference_steps: int = 50
+    guidance_scale: float = 7.5
+    max_iter_to_alter: int = 25
+    attention_res: int = 16
+    run_standard_sd: bool = False
+    thresholds: Optional[Dict[int, float]] = None
+    scale_factor: float = 20.0
+    scale_range: Tuple[float, float] = (1.0, 0.5)
+    smooth_attentions: bool = True
+    sigma: float = 0.5
+    kernel_size: int = 3
+    sd_2_1: bool = False
+    only_update_on_threshold_steps: bool = True
+    sub_prompt_avg_within: bool = False
+    skip_inert_guidance_passes: bool = True
+    diagnostic_level: int = 0
+    negative_prompt: str = ""
+    capture_eval_maps: bool = False
+    capture_diagnostics: bool = True
+    eta: float = 0.0
+    capture_eval_latents: bool = False
+    remat_guidance_eval: bool = False
+
+    @classmethod
+    def from_locals(cls, ns: Dict[str, Any]) -> "PrepareOptions":
+        """Build from a public method's ``locals()``: every field must exist
+        as a same-named parameter there (a KeyError here means the public
+        signature and this dataclass drifted apart — loud, at call time)."""
+        return cls(**{f.name: ns[f.name] for f in dataclasses.fields(cls)})
+
+    def cache_key(self, registry_version: int):
+        """Hashable identity for the prepare cache, or None when uncacheable
+        (caller-supplied annotation objects may be mutated between calls)."""
+        if self.annotations is not None:
+            return None
+        scalars = tuple(
+            getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name not in _UNHASHABLE_OPTS
+        )
+        return (
+            registry_version,
+            scalars,
+            _hp_key(self.hp) if self.hp is not None else None,
+            tuple(sorted(self.thresholds.items())) if self.thresholds is not None else None,
+            tuple(self.scale_range),
+        )
+
+
+@dataclasses.dataclass
+class PendingBatch:
+    """An issued-but-not-pulled batch generation (see PendingOutput).
+
+    Single-process, the fields hold device arrays — the guided scan AND the
+    sharded VAE decode are already on the device queue — and ``result()``
+    performs one batched device->host pull. Multi-process, the gather
+    collectives already ran in ``dispatch_batch`` (they must execute in
+    lockstep on every host) and the fields hold host numpy."""
+
+    _img_u8: Any  # [B, H, W, 3] uint8 (device or host) or None
+    _final: Any  # [B, 1, h, w, C]
+    _diags: Any
+    _materialized: bool
+    per_out: List[Any]  # per-sample (prompt, annotations, spec)
+    seeds: List[int]
+
+    def result(self) -> List[PipelineOutput]:
+        if self._materialized:
+            img_u8, final, diags = self._img_u8, self._final, self._diags
+        else:
+            img_u8, final, diags = jax.device_get((self._img_u8, self._final, self._diags))
+        batch_images = None
+        if img_u8 is not None:
+            batch_images = np.asarray(img_u8).astype(np.float32) / 255.0
+        outputs = []
+        for b, _seed in enumerate(self.seeds):
+            images = None
+            if batch_images is not None:
+                # copy: a view would alias every output to one batch buffer
+                # (in-place annotation of one image would corrupt the rest)
+                images = batch_images[b : b + 1].copy()
+            b_prompt, b_anns, b_spec = self.per_out[b]
+            outputs.append(
+                PipelineOutput(
+                    images=images,
+                    latents=final[b],
+                    diagnostics=jax.tree_util.tree_map(lambda x: x[b], diags),
+                    spec=b_spec,
+                    prompt=b_prompt,
+                    annotations=b_anns,
+                )
+            )
+        return outputs
+
+
 class GuidedAttentionPipeline:
     """prompt + annotations -> guided image, all compute in one XLA program."""
 
@@ -133,12 +255,7 @@ class GuidedAttentionPipeline:
         )
         return self._encode(self.sd.params["text_encoder"], ids)
 
-    @staticmethod
-    def _hp_key(hp: HyperParams):
-        return tuple(
-            tuple(sorted(v.items())) if isinstance(v, dict) else v
-            for v in dataclasses.asdict(hp).values()
-        )
+    _hp_key = staticmethod(_hp_key)
 
     def _get_generate(self, statics: GenStatics, hp: HyperParams):
         key = (statics, self._hp_key(hp))
@@ -168,123 +285,33 @@ class GuidedAttentionPipeline:
         return self._fused_cache[key]
 
     # ------------------------------------------------------------------
-    def _prepare(
-        self,
-        *,
-        meta_prompt=None,
-        prompt=None,
-        annotations=None,
-        hp=None,
-        num_inference_steps=50,
-        guidance_scale=7.5,
-        max_iter_to_alter=25,
-        attention_res=16,
-        run_standard_sd=False,
-        thresholds=None,
-        scale_factor=20.0,
-        scale_range=(1.0, 0.5),
-        smooth_attentions=True,
-        sigma=0.5,
-        kernel_size=3,
-        sd_2_1=False,
-        only_update_on_threshold_steps=True,
-        sub_prompt_avg_within=False,
-        skip_inert_guidance_passes=True,
-        diagnostic_level=0,
-        negative_prompt="",
-        capture_eval_maps=False,
-        capture_diagnostics=True,
-        eta=0.0,
-        capture_eval_latents=False,
-        remat_guidance_eval=False,
-    ):
-        # Keyword-only: a 25-deep positional chain silently mis-binds a
-        # config field on any reordering (the round-2 verdict's complaint
-        # about generate_batch's kwargs.pop chain, fixed at the root here).
+    def _prepare(self, opts: PrepareOptions):
         # Seed sweeps re-call with identical prompt/config: cache the prepared
         # (spec, statics, sched, arrays, emb) so repeat calls skip the host->
         # device uploads + CLIP forward (~100 ms/image on a remote tunnel).
-        cache_key = None
-        if annotations is None:
-            cache_key = (
-                self._registry_version,
-                meta_prompt, prompt,
-                self._hp_key(hp) if hp is not None else None,
-                num_inference_steps, guidance_scale, max_iter_to_alter,
-                attention_res, run_standard_sd,
-                tuple(sorted(thresholds.items())) if thresholds is not None else None,
-                scale_factor, tuple(scale_range), smooth_attentions, sigma,
-                kernel_size, sd_2_1, only_update_on_threshold_steps,
-                sub_prompt_avg_within, skip_inert_guidance_passes,
-                diagnostic_level, negative_prompt, capture_eval_maps,
-                capture_diagnostics, eta, capture_eval_latents,
-                remat_guidance_eval,
-            )
+        cache_key = opts.cache_key(self._registry_version)
+        if cache_key is not None:
             hit = self._prepare_cache.get(cache_key)
             if hit is not None:
                 return hit
-        prepared = self._prepare_uncached(
-            meta_prompt=meta_prompt, prompt=prompt, annotations=annotations,
-            hp=hp, num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale, max_iter_to_alter=max_iter_to_alter,
-            attention_res=attention_res, run_standard_sd=run_standard_sd,
-            thresholds=thresholds, scale_factor=scale_factor,
-            scale_range=scale_range, smooth_attentions=smooth_attentions,
-            sigma=sigma, kernel_size=kernel_size, sd_2_1=sd_2_1,
-            only_update_on_threshold_steps=only_update_on_threshold_steps,
-            sub_prompt_avg_within=sub_prompt_avg_within,
-            skip_inert_guidance_passes=skip_inert_guidance_passes,
-            diagnostic_level=diagnostic_level, negative_prompt=negative_prompt,
-            capture_eval_maps=capture_eval_maps,
-            capture_diagnostics=capture_diagnostics, eta=eta,
-            capture_eval_latents=capture_eval_latents,
-            remat_guidance_eval=remat_guidance_eval,
-        )
+        prepared = self._prepare_uncached(opts)
         if cache_key is not None:
             if len(self._prepare_cache) >= 64:  # bound device-array residency
                 self._prepare_cache.pop(next(iter(self._prepare_cache)))
             self._prepare_cache[cache_key] = prepared
         return prepared
 
-    def _prepare_uncached(
-        self,
-        *,
-        meta_prompt=None,
-        prompt=None,
-        annotations=None,
-        hp=None,
-        num_inference_steps=50,
-        guidance_scale=7.5,
-        max_iter_to_alter=25,
-        attention_res=16,
-        run_standard_sd=False,
-        thresholds=None,
-        scale_factor=20.0,
-        scale_range=(1.0, 0.5),
-        smooth_attentions=True,
-        sigma=0.5,
-        kernel_size=3,
-        sd_2_1=False,
-        only_update_on_threshold_steps=True,
-        sub_prompt_avg_within=False,
-        skip_inert_guidance_passes=True,
-        diagnostic_level=0,
-        negative_prompt="",
-        capture_eval_maps=False,
-        capture_diagnostics=True,
-        eta=0.0,
-        capture_eval_latents=False,
-        remat_guidance_eval=False,
-    ):
-        hp = hp or HyperParams()
-        if thresholds is not None:
-            hp = hp.replace(thresholds=thresholds)
+    def _prepare_uncached(self, o: PrepareOptions):
+        hp = o.hp or HyperParams()
+        if o.thresholds is not None:
+            hp = hp.replace(thresholds=o.thresholds)
         if len(hp.thresholds) == 0:  # pipeline:916-917
             hp = hp.replace(thresholds={0: float("inf")})
 
+        prompt, annotations = o.prompt, o.annotations
         custom_losses: Dict[str, Any] = {}
-        if meta_prompt is not None:
-            prompt, annotations, custom_losses = parse_prompt(meta_prompt, self.registry.as_dict())
+        if o.meta_prompt is not None:
+            prompt, annotations, custom_losses = parse_prompt(o.meta_prompt, self.registry.as_dict())
         assert prompt is not None
         annotations = annotations or []
 
@@ -294,35 +321,35 @@ class GuidedAttentionPipeline:
             annotations,
             hp,
             custom_losses,
-            attention_res=attention_res,
-            normalize_eot=sd_2_1,
+            attention_res=o.attention_res,
+            normalize_eot=o.sd_2_1,
         )
 
         thr_values = list(hp.thresholds.values())
         statics = GenStatics(
-            num_steps=num_inference_steps,
-            guidance_scale=guidance_scale,
-            attention_res=attention_res,
-            smooth_attentions=smooth_attentions,
-            sigma=sigma,
-            kernel_size=kernel_size,
-            run_standard_sd=run_standard_sd,
-            skip_inert_guidance_passes=skip_inert_guidance_passes,
-            sub_prompt_avg_within=sub_prompt_avg_within,
-            only_update_on_threshold_steps=only_update_on_threshold_steps,
-            max_iter_to_alter=max_iter_to_alter,
+            num_steps=o.num_inference_steps,
+            guidance_scale=o.guidance_scale,
+            attention_res=o.attention_res,
+            smooth_attentions=o.smooth_attentions,
+            sigma=o.sigma,
+            kernel_size=o.kernel_size,
+            run_standard_sd=o.run_standard_sd,
+            skip_inert_guidance_passes=o.skip_inert_guidance_passes,
+            sub_prompt_avg_within=o.sub_prompt_avg_within,
+            only_update_on_threshold_steps=o.only_update_on_threshold_steps,
+            max_iter_to_alter=o.max_iter_to_alter,
             last_threshold=float(thr_values[-1]) if thr_values else float("inf"),
-            capture_eval_maps=capture_eval_maps and capture_diagnostics,
-            capture_eval_latents=capture_eval_latents and capture_diagnostics,
-            capture_step_maps=capture_diagnostics,
-            diag_level=1 if capture_diagnostics else 0,
-            eta=float(eta),
-            remat_guidance_eval=remat_guidance_eval,
+            capture_eval_maps=o.capture_eval_maps and o.capture_diagnostics,
+            capture_eval_latents=o.capture_eval_latents and o.capture_diagnostics,
+            capture_step_maps=o.capture_diagnostics,
+            diag_level=1 if o.capture_diagnostics else 0,
+            eta=float(o.eta),
+            remat_guidance_eval=o.remat_guidance_eval,
         )
 
-        sched = make_ddim_schedule(num_inference_steps)
-        arrays = make_step_arrays(statics, hp, sched, scale_factor, scale_range)
-        emb = self.encode_prompt(prompt, negative_prompt)
+        sched = make_ddim_schedule(o.num_inference_steps)
+        arrays = make_step_arrays(statics, hp, sched, o.scale_factor, o.scale_range)
+        emb = self.encode_prompt(prompt, o.negative_prompt)
         return hp, prompt, annotations, spec, statics, sched, arrays, emb
 
     def dispatch(
@@ -364,23 +391,10 @@ class GuidedAttentionPipeline:
         transfer, ~0.1-0.2 s/image on remote-attached TPUs) with device
         compute — frontends' seed sweeps pipeline with depth 2
         (frontends/cli.execute)."""
-        hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(
-            meta_prompt=meta_prompt, prompt=prompt, annotations=annotations,
-            hp=hp, num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale, max_iter_to_alter=max_iter_to_alter,
-            attention_res=attention_res, run_standard_sd=run_standard_sd,
-            thresholds=thresholds, scale_factor=scale_factor,
-            scale_range=scale_range, smooth_attentions=smooth_attentions,
-            sigma=sigma, kernel_size=kernel_size, sd_2_1=sd_2_1,
-            only_update_on_threshold_steps=only_update_on_threshold_steps,
-            sub_prompt_avg_within=sub_prompt_avg_within,
-            skip_inert_guidance_passes=skip_inert_guidance_passes,
-            diagnostic_level=diagnostic_level, negative_prompt=negative_prompt,
-            capture_eval_maps=capture_eval_maps,
-            capture_diagnostics=capture_diagnostics, eta=eta,
-            capture_eval_latents=capture_eval_latents,
-            remat_guidance_eval=remat_guidance_eval,
-        )
+        # the signature mirrors PrepareOptions (plus per-call seed/latents/
+        # decode); from_locals fails loudly if the two ever drift apart
+        opts = PrepareOptions.from_locals(locals())
+        hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(opts)
 
         if decode and latents is None:
             # common path (CLI/GUI/bench): everything from PRNG derivation to
@@ -448,7 +462,7 @@ class GuidedAttentionPipeline:
         ]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *norm)
 
-    def generate_batch(
+    def dispatch_batch(
         self,
         seeds: List[int],
         meta_prompt: Optional[str] = None,
@@ -480,10 +494,17 @@ class GuidedAttentionPipeline:
         eta: float = 0.0,
         capture_eval_latents: bool = False,
         remat_guidance_eval: bool = False,
-    ) -> List[PipelineOutput]:
-        """Generate one image per seed as ONE sharded program over the mesh
-        (the reference loops seeds serially on one GPU, run.py:97-98;
-        BASELINE config 5: '8 seeds/batch multi-prompt generation').
+    ) -> "PendingBatch":
+        """Issue one batch generation WITHOUT pulling results: one sharded
+        program over the mesh for the guided scan, plus (single-process) the
+        sharded VAE decode — ``PendingBatch.result()`` does the one blocking
+        device->host pull. Frontends pipeline consecutive chunks at depth 2,
+        overlapping chunk i's host tail with chunk i+1's device compute
+        (same pattern as ``dispatch``). See ``generate_batch`` for the
+        blocking convenience wrapper.
+
+        (The reference loops seeds serially on one GPU, run.py:97-98;
+        BASELINE config 5: '8 seeds/batch multi-prompt generation'.)
 
         ``meta_prompts`` (one per seed) enables multi-prompt batching: each
         sample gets its own parsed prompt/annotations/embedding while sharing
@@ -511,34 +532,9 @@ class GuidedAttentionPipeline:
         from guided_attention_tpu.parallel.mesh import make_mesh
         from guided_attention_tpu.parallel.multihost import is_primary, to_host
 
-        cfg_kw = dict(
-            hp=hp,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale,
-            max_iter_to_alter=max_iter_to_alter,
-            attention_res=attention_res,
-            run_standard_sd=run_standard_sd,
-            thresholds=thresholds,
-            scale_factor=scale_factor,
-            scale_range=scale_range,
-            smooth_attentions=smooth_attentions,
-            sigma=sigma,
-            kernel_size=kernel_size,
-            sd_2_1=sd_2_1,
-            only_update_on_threshold_steps=only_update_on_threshold_steps,
-            sub_prompt_avg_within=sub_prompt_avg_within,
-            skip_inert_guidance_passes=skip_inert_guidance_passes,
-            diagnostic_level=diagnostic_level,
-            negative_prompt=negative_prompt,
-            capture_eval_maps=capture_eval_maps,
-            capture_diagnostics=capture_diagnostics,
-            eta=eta,
-            capture_eval_latents=capture_eval_latents,
-            remat_guidance_eval=remat_guidance_eval,
-        )
-
-        def prepare(mp, p, anns):
-            return self._prepare(meta_prompt=mp, prompt=p, annotations=anns, **cfg_kw)
+        # the signature mirrors PrepareOptions (plus per-call seeds/
+        # meta_prompts/mesh/decode); from_locals fails loudly on drift
+        opts = PrepareOptions.from_locals(locals())
 
         per_prompt = meta_prompts is not None
         if per_prompt:
@@ -548,15 +544,15 @@ class GuidedAttentionPipeline:
                 raise ValueError(
                     f"meta_prompts has {len(meta_prompts)} entries for {len(seeds)} seeds"
                 )
-            prepared = [prepare(mp, None, None) for mp in meta_prompts]
+            prepared = [
+                self._prepare(dataclasses.replace(opts, meta_prompt=mp)) for mp in meta_prompts
+            ]
             hp, _, _, _, statics, sched, arrays, _ = prepared[0]
             spec = self._stack_specs([p[3] for p in prepared])
             emb = jnp.stack([p[7] for p in prepared])
             per_out = [(p[1], p[2], p[3]) for p in prepared]  # (prompt, anns, spec)
         else:
-            hp, prompt, annotations, spec, statics, sched, arrays, emb = prepare(
-                meta_prompt, prompt, annotations
-            )
+            hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(opts)
             per_out = [(prompt, annotations, spec)] * len(seeds)
 
         if mesh is None:
@@ -581,40 +577,41 @@ class GuidedAttentionPipeline:
 
         with mesh:
             final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
+            if jax.process_count() == 1:
+                img_u8 = None
+                if decode:
+                    # decode the STILL-SHARDED latents inside the mesh: each
+                    # device decodes its own batch shard as one more queued
+                    # dispatch — no host pull of latents, no re-upload (the
+                    # old path cost device_get + upload + decode + device_get)
+                    B = final.shape[0]
+                    flat = final.reshape((B,) + final.shape[2:])
+                    img_u8 = self.sd.decode_latents_u8(flat)
+                return PendingBatch(
+                    _img_u8=img_u8, _final=final, _diags=diags,
+                    _materialized=False, per_out=per_out, seeds=list(seeds),
+                )
             final, diags = to_host((final, diags))
 
-        batch_images = None
+        # Multi-process: the allgather collectives above must run in lockstep
+        # on every host, so the pull happens here, not in result(). Only the
+        # primary host decodes — artifact writing is host 0's job, and an
+        # every-host decode of the full allgathered batch is duplicated work
+        # that grows with host count.
+        img_u8 = None
         if decode and is_primary():
-            # ONE batched decode dispatch for the whole seed batch (a per-seed
-            # decode costs a dispatch + pull each, ~0.1 s/seed on remote TPUs).
-            # Multi-process: only the primary host decodes — artifact writing
-            # is host 0's job, and an every-host decode of the full
-            # allgathered batch is duplicated work that grows with host count.
             B = final.shape[0]
             flat = jnp.asarray(final.reshape((B,) + final.shape[2:]))
-            batch_images = np.asarray(
-                jax.device_get(self.sd.decode_latents_u8(flat))
-            ).astype(np.float32) / 255.0
+            img_u8 = np.asarray(jax.device_get(self.sd.decode_latents_u8(flat)))
+        return PendingBatch(
+            _img_u8=img_u8, _final=final, _diags=diags,
+            _materialized=True, per_out=per_out, seeds=list(seeds),
+        )
 
-        outputs = []
-        for b, seed in enumerate(seeds):
-            images = None
-            if batch_images is not None:
-                # copy: a view would alias every output to one batch buffer
-                # (in-place annotation of one image would corrupt the rest)
-                images = batch_images[b : b + 1].copy()
-            b_prompt, b_anns, b_spec = per_out[b]
-            outputs.append(
-                PipelineOutput(
-                    images=images,
-                    latents=final[b],
-                    diagnostics=jax.tree_util.tree_map(lambda x: x[b], diags),
-                    spec=b_spec,
-                    prompt=b_prompt,
-                    annotations=b_anns,
-                )
-            )
-        return outputs
+    def generate_batch(self, seeds: List[int], **kwargs) -> List[PipelineOutput]:
+        """Generate one image per seed as ONE sharded program over the mesh:
+        ``dispatch_batch(...).result()`` (same keyword surface)."""
+        return self.dispatch_batch(seeds, **kwargs).result()
 
 
 def pipeline_from_config(config: RunConfig, registry=None) -> GuidedAttentionPipeline:

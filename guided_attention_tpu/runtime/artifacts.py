@@ -397,21 +397,27 @@ def save_diagnostic_preds(pipe, out, writer: "ArtifactWriter", diagnostic_level:
     # ONE jitted program for the CFG forward + x0 + decode: per-slot eager
     # UNet applies would cost thousands of op-by-op tunnel dispatches each on
     # remote-attached TPUs (CLAUDE.md: jit everything); with up to R_sub=12
-    # slots per step this path is hot enough to matter
+    # slots per step this path is hot enough to matter. The wrapper is cached
+    # ON THE PIPE (emb/sched enter as traced args, not closure constants) so
+    # an N-seed diagnostic sweep compiles once, not once per seed.
     import jax
 
-    def _x0_image(params, lat, i):
-        pair = jnp.concatenate([lat, lat], axis=0)
-        eps, _ = pipe.sd.unet.apply({"params": params["unet"]}, pair, sched.timesteps[i], emb)
-        eps_u, eps_c = eps[0:1], eps[1:2]
-        noise = eps_u + 7.5 * (eps_c - eps_u)  # reference hardcodes 7.5 (pipeline:533)
-        _prev, x0 = ddim_step(sched, i, noise.astype(jnp.float32), lat.astype(jnp.float32))
-        return pipe.sd._decode_fn(params["vae"], x0.astype(dtype))
+    x0_image = getattr(pipe, "_diag_x0_image_jit", None)
+    if x0_image is None:
 
-    x0_image = jax.jit(_x0_image)
+        def _x0_image(params, lat, i, emb, sched):
+            pair = jnp.concatenate([lat, lat], axis=0)
+            eps, _ = pipe.sd.unet.apply({"params": params["unet"]}, pair, sched.timesteps[i], emb)
+            eps_u, eps_c = eps[0:1], eps[1:2]
+            noise = eps_u + 7.5 * (eps_c - eps_u)  # reference hardcodes 7.5 (pipeline:533)
+            _prev, x0 = ddim_step(sched, i, noise.astype(jnp.float32), lat.astype(jnp.float32))
+            return pipe.sd._decode_fn(params["vae"], x0.astype(dtype))
+
+        x0_image = jax.jit(_x0_image)
+        pipe._diag_x0_image_jit = x0_image
 
     def pred_pre_optim(lat, i, subiter):
-        img = np.asarray(jax.device_get(x0_image(pipe.sd.params, lat, jnp.int32(i))))[0]
+        img = np.asarray(jax.device_get(x0_image(pipe.sd.params, lat, jnp.int32(i), emb, sched)))[0]
         fname = (writer.clean + writer._state_name(i, subiter) + "_pred_pre_optim").replace(".", "_") + ".png"
         writer.async_writer.submit_image(img, writer.step_dir / fname)
 

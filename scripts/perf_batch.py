@@ -10,6 +10,9 @@ backward) — the HBM-pressure experiment for batch >= 16.
 --multi: alternate two meta-prompts across the batch (per-sample specs +
 embeddings in the one compiled program — BASELINE config 5's multi-prompt
 generation at SD scale).
+--pipelined: measure a depth-2 pipelined sweep of 3 consecutive chunks
+(dispatch_batch chunk i+1 before pulling chunk i — the CLI batch path),
+the sustained s/image a chunked seed sweep actually achieves.
 """
 from __future__ import annotations
 
@@ -38,6 +41,7 @@ def main():
     args = sys.argv[1:]
     remat = "--remat" in args
     multi = "--multi" in args
+    pipelined = "--pipelined" in args
     sizes = [int(a) for a in args if not a.startswith("--")] or [4, 8]
 
     from guided_attention_tpu.models.bundle import StableDiffusion
@@ -71,6 +75,17 @@ def main():
                 f"batch {B}{tag}: {best/B:.3f} s/image amortized "
                 f"({best:.2f} s/batch, warmup {warm:.1f}s, walls {[round(t,2) for t in times]})"
             )
+            if pipelined:
+                n_chunks = 3
+                t0 = time.time()
+                pending = pipe.dispatch_batch(list(range(300, 300 + B)), **kw)
+                for c in range(1, n_chunks):
+                    nxt = pipe.dispatch_batch(list(range(300 + c * B, 300 + (c + 1) * B)), **kw)
+                    pending.result()
+                    pending = nxt
+                pending.result()
+                sustained = (time.time() - t0) / (n_chunks * B)
+                print(f"batch {B}{tag} pipelined x{n_chunks}: {sustained:.3f} s/image sustained")
         except Exception as e:
             print(f"batch {B}: FAILED {type(e).__name__}: {e}")
 

@@ -132,6 +132,21 @@ def test_multi_prompt_batch_guided(pipe):
     assert outs[0].annotations[0].target != outs[1].annotations[0].target
 
 
+def test_dispatch_batch_pipelines(pipe):
+    """Depth-2 batch pipelining: two chunks issued before either is pulled
+    must equal the blocking generate_batch results (the sharded in-mesh VAE
+    decode and the single batched pull happen in PendingBatch.result())."""
+    mesh = make_mesh({"data": 2})
+    kw = dict(meta_prompt="a dog", mesh=mesh, num_inference_steps=2, run_standard_sd=True)
+    ref = pipe.generate_batch([1, 2], **kw) + pipe.generate_batch([3, 4], **kw)
+    p1 = pipe.dispatch_batch([1, 2], **kw)
+    p2 = pipe.dispatch_batch([3, 4], **kw)
+    outs = p1.result() + p2.result()
+    for o, r in zip(outs, ref):
+        np.testing.assert_array_equal(np.asarray(o.latents), np.asarray(r.latents))
+        np.testing.assert_array_equal(o.images, r.images)
+
+
 def test_multi_prompt_batch_misuse_errors(pipe):
     with pytest.raises(TypeError):
         pipe.generate_batch([1], meta_prompt="a dog", meta_prompts=["a dog"])
