@@ -133,6 +133,20 @@ def main():
             )
             assert outs[0].images is not None
             info["batch8_s_per_image"] = round((time.time() - t0) / len(bseeds), 3)
+            # sustained chunked throughput: depth-2 pipelined dispatch_batch
+            # (the CLI batch-sweep path; same compiled programs as above)
+            t0 = time.time()
+            pend = pipe.dispatch_batch(
+                [s + 100 for s in bseeds], meta_prompt=META_PROMPT,
+                num_inference_steps=steps, capture_diagnostics=False,
+            )
+            nxt = pipe.dispatch_batch(
+                [s + 150 for s in bseeds], meta_prompt=META_PROMPT,
+                num_inference_steps=steps, capture_diagnostics=False,
+            )
+            pend.result()
+            nxt.result()
+            info["batch8_pipelined_s_per_image"] = round((time.time() - t0) / (2 * len(bseeds)), 3)
         except Exception as e:  # noqa: BLE001 — throughput info is best-effort
             info["batch8_error"] = repr(e)[:200]
 
