@@ -109,6 +109,19 @@ def state_prompts(config: RunConfig, hp: HyperParams) -> List[str]:
     return list(config.meta_prompts) if config.meta_prompts else [config.meta_prompt]
 
 
+def plan_batch_chunks(config: RunConfig, states: List[HyperParams]):
+    """The batched sweep's work plan: per sweep state, the (prompt x seed)
+    grid chunked into batch_size slices. Returns [(hp, [(meta_prompt, seed),
+    ...])] in execution order — pure so the grid/precedence logic is testable
+    without compiling a pipeline."""
+    return [
+        (hp, pairs[lo : lo + config.batch_size])
+        for hp in states
+        for pairs in [[(mp, s) for mp in state_prompts(config, hp) for s in config.seeds]]
+        for lo in range(0, len(pairs), config.batch_size)
+    ]
+
+
 def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[str, Any]]] = None):
     """Seeds x hyperparameter sweep with artifact output
     (reference run.py:93-135)."""
@@ -158,12 +171,7 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
         # config 5) — per-sample specs/embeddings, one compile. Chunks
         # pipeline at depth 2 (dispatch chunk i+1 before pulling chunk i),
         # overlapping the host tail with device compute like the single path.
-        chunks = [
-            (hp, pairs[lo : lo + config.batch_size])
-            for hp in get_hyperparam_states(base_hp, hyperparam_iterations)
-            for pairs in [[(mp, s) for mp in state_prompts(config, hp) for s in config.seeds]]
-            for lo in range(0, len(pairs), config.batch_size)
-        ]
+        chunks = plan_batch_chunks(config, get_hyperparam_states(base_hp, hyperparam_iterations))
 
         def drain_batch(item):
             hp, chunk, pb = item

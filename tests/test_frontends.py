@@ -290,6 +290,25 @@ def test_per_subiter_pred_pre_optim_snapshots(artifacts):
     assert len(subiters) >= 2, f"expected per-subiter snapshots, got {sorted(subiters)}"
 
 
+def test_plan_batch_chunks():
+    """The batched sweep plan: (prompt x seed) grid per state, chunked by
+    batch_size, multi-prompt chunks interleaving prompts before seeds."""
+    cfg = RunConfig(meta_prompt="p", meta_prompts=["p1", "p2"], seeds=[1, 2], batch_size=2)
+    hp_a, hp_b = HyperParams(), HyperParams(meta_prompt="ov")
+    chunks = cli.plan_batch_chunks(cfg, [hp_a, hp_b])
+    # state a: grid [(p1,1),(p1,2),(p2,1),(p2,2)] -> 2 chunks of 2;
+    # state b: its override prompt wins -> [(ov,1),(ov,2)] -> 1 chunk
+    assert [(hp is hp_a, c) for hp, c in chunks] == [
+        (True, [("p1", 1), ("p1", 2)]),
+        (True, [("p2", 1), ("p2", 2)]),
+        (False, [("ov", 1), ("ov", 2)]),
+    ]
+    # non-dividing batch size leaves a ragged tail chunk (still executed)
+    cfg3 = RunConfig(meta_prompt="p", seeds=[1, 2, 3], batch_size=2)
+    tail = cli.plan_batch_chunks(cfg3, [hp_a])
+    assert [c for _, c in tail] == [[("p", 1), ("p", 2)], [("p", 3)]]
+
+
 def test_state_prompts_precedence():
     """Sweep-state meta_prompt > --meta_prompts > --meta_prompt
     (reference precedence: request > grid state > RunConfig, run.py:75-79)."""
