@@ -114,12 +114,12 @@ def plan_batch_chunks(config: RunConfig, states: List[HyperParams]):
     grid chunked into batch_size slices. Returns [(hp, [(meta_prompt, seed),
     ...])] in execution order — pure so the grid/precedence logic is testable
     without compiling a pipeline."""
-    return [
-        (hp, pairs[lo : lo + config.batch_size])
-        for hp in states
-        for pairs in [[(mp, s) for mp in state_prompts(config, hp) for s in config.seeds]]
-        for lo in range(0, len(pairs), config.batch_size)
-    ]
+    chunks = []
+    for hp in states:
+        pairs = [(mp, s) for mp in state_prompts(config, hp) for s in config.seeds]
+        for lo in range(0, len(pairs), config.batch_size):
+            chunks.append((hp, pairs[lo : lo + config.batch_size]))
+    return chunks
 
 
 def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[str, Any]]] = None):
