@@ -1,0 +1,412 @@
+"""Production serving frontend: a micro-batching HTTP inference server.
+
+No reference counterpart: the reference's interactive backend (reference
+gui.py:14-45) handles ONE request at a time and mutates global shared_state
+per request. TPU-native serving inverts that: concurrent requests are
+coalesced into one sharded batch program (runner.dispatch_batch over the
+device mesh, parallel/batch.py) so the chip always sees the amortized
+batch-8 path (docs/PERF.md: 1.70 s/image single -> 1.41 s/image batched).
+
+Design:
+- **Submit-time prepare.** Each request is parsed/validated on arrival
+  (prompt grammar, spec build, CLIP embedding via the runner's _prepare
+  cache); malformed requests fail fast with a per-request error instead of
+  poisoning a batch.
+- **Compatibility grouping.** Requests are batchable when every generation
+  knob except the prompt matches AND their specs share static structure
+  (same sub-prompt group count / custom-loss bindings) — the multi-prompt
+  batch constraint (runner._stack_specs). The group key is derived from
+  PrepareOptions' own field list, so a new knob cannot silently be ignored.
+- **Batch-size buckets.** Every distinct vmap batch size compiles its own
+  XLA program, so group sizes are rounded UP to a configured bucket
+  (default 1/2/4/8) and padded by repeating the last request; padded
+  outputs are dropped. A steady-state server therefore runs from a handful
+  of warm executables instead of recompiling per load level.
+- **Depth-2 pipelining.** The batcher dispatches group i+1 before pulling
+  group i's results (PendingBatch holds device futures), overlapping the
+  host tail with device compute — the same pattern as the CLI sweep.
+
+HTTP protocol (stdlib ThreadingHTTPServer; handler threads block on the
+batcher, the batcher owns all device dispatch):
+  POST /generate {"meta_prompt": "...", "seed"?: int, <generation knobs>}
+       -> {"seed", "prompt", "width", "height", "image_png_b64"}
+  GET  /healthz  -> {"ok", "device", "model"}
+  GET  /stats    -> batching counters (requests, batches, sizes, padding)
+
+Run:  python -m guided_attention_tpu.frontends.server --model sd15 --port 8100
+"""
+from __future__ import annotations
+
+import base64
+import dataclasses
+import io
+import json
+import random
+import threading
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+from guided_attention_tpu.runner import (
+    GuidedAttentionPipeline,
+    PipelineOutput,
+    PrepareOptions,
+)
+
+# Request knobs the server accepts, by construction: every PrepareOptions
+# field except the prompt-carriers and host-object fields (those are
+# API-level, not JSON-serializable).
+_KNOB_FIELDS = tuple(
+    f.name
+    for f in dataclasses.fields(PrepareOptions)
+    if f.name not in ("meta_prompt", "prompt", "annotations", "hp")
+)
+
+
+class RequestError(ValueError):
+    """A per-request validation error (HTTP 400)."""
+
+
+@dataclasses.dataclass
+class ServeTicket:
+    """Future for one submitted request; fulfilled by the batcher thread."""
+
+    meta_prompt: str
+    seed: int
+    knobs: Dict[str, Any]
+    group_key: Any
+    _event: threading.Event = dataclasses.field(default_factory=threading.Event)
+    _output: Optional[PipelineOutput] = None
+    _error: Optional[BaseException] = None
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+
+    def result(self, timeout: Optional[float] = None) -> PipelineOutput:
+        if not self._event.wait(timeout):
+            raise TimeoutError("generation did not complete in time")
+        if self._error is not None:
+            raise self._error
+        assert self._output is not None
+        return self._output
+
+
+class BatchingEngine:
+    """Coalesces concurrent generation requests into sharded batch programs.
+
+    Thread model: any number of producer threads call ``submit``; ONE
+    batcher thread owns every device dispatch (the runner's program caches
+    are plain dicts — single-writer keeps them race-free). ``_pipe_lock``
+    additionally serializes submit-time prepares against in-flight
+    dispatches; the blocking device->host pull never holds it.
+    """
+
+    def __init__(
+        self,
+        pipe: GuidedAttentionPipeline,
+        max_wait_ms: float = 100.0,
+        buckets: Tuple[int, ...] = (1, 2, 4, 8),
+        mesh=None,
+    ):
+        self.pipe = pipe
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets or self.buckets[0] < 1:
+            raise ValueError(f"invalid batch buckets: {buckets}")
+        self.mesh = mesh
+        self.max_batch = self.buckets[-1]
+
+        self._queue: deque[ServeTicket] = deque()
+        self._cv = threading.Condition()
+        self._pipe_lock = threading.Lock()
+        self._stop = False
+        self.stats: Dict[str, Any] = {
+            "requests": 0,
+            "errors": 0,
+            "batches": 0,
+            "samples": 0,
+            "padded_samples": 0,
+            "batch_sizes": {},  # dispatched (bucketed) size -> count
+            "last_batch_s": None,
+        }
+        self._thread = threading.Thread(target=self._loop, name="ga-batcher", daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- submit
+    def submit(self, meta_prompt: str, seed: Optional[int] = None, **knobs) -> ServeTicket:
+        """Validate, prepare (spec + CLIP embed, cached), and enqueue."""
+        unknown = set(knobs) - set(_KNOB_FIELDS)
+        if unknown:
+            raise RequestError(f"unknown field(s): {sorted(unknown)}")
+        if not isinstance(meta_prompt, str) or not meta_prompt.strip():
+            raise RequestError("meta_prompt must be a non-empty string")
+        if seed is None:
+            seed = random.randrange(4294967294)  # reference gui.py:29
+        knobs.setdefault("capture_diagnostics", False)  # serving: image path
+
+        opts = PrepareOptions(meta_prompt=meta_prompt, **knobs)
+        with self._pipe_lock:
+            try:
+                prepared = self.pipe._prepare(opts)
+            except RequestError:
+                raise
+            except Exception as e:  # parse/spec/tokenize errors -> 400
+                raise RequestError(f"invalid request: {e}") from e
+        spec = prepared[3]
+        # batchable iff every non-prompt knob matches AND the spec's static
+        # structure matches (runner._stack_specs constraint). cache_key is
+        # derived from PrepareOptions' field list -> new knobs can't leak.
+        key_opts = dataclasses.replace(opts, meta_prompt="")
+        group_key = (
+            key_opts.cache_key(self.pipe._registry_version),
+            spec.n_groups,
+            spec.custom_group,
+            spec.custom_losses,
+        )
+
+        ticket = ServeTicket(meta_prompt=meta_prompt, seed=int(seed), knobs=knobs, group_key=group_key)
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("engine is shut down")
+            self._queue.append(ticket)
+            self.stats["requests"] += 1
+            self._cv.notify_all()
+        return ticket
+
+    def close(self, timeout: float = 60.0) -> None:
+        """Drain the queue, deliver everything in flight, stop the thread."""
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout)
+
+    # ------------------------------------------------------------ batcher
+    def _pop_first(self, block: bool) -> Optional[ServeTicket]:
+        with self._cv:
+            while not self._queue:
+                if self._stop or not block:
+                    return None
+                self._cv.wait(timeout=0.1)
+            return self._queue.popleft()
+
+    def _gather(self, first: ServeTicket) -> List[ServeTicket]:
+        """Collect same-key requests for up to max_wait_s (early-exit when a
+        full bucket is reached). Other-key requests stay queued in order."""
+        group = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        with self._cv:
+            while len(group) < self.max_batch:
+                for t in list(self._queue):
+                    if t.group_key == first.group_key:
+                        self._queue.remove(t)
+                        group.append(t)
+                        if len(group) >= self.max_batch:
+                            break
+                if len(group) >= self.max_batch:
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or self._stop:
+                    break
+                self._cv.wait(timeout=remaining)
+        return group
+
+    def _dispatch(self, group: List[ServeTicket]):
+        seeds = [t.seed for t in group]
+        prompts = [t.meta_prompt for t in group]
+        bucket = next(b for b in self.buckets if b >= len(group))
+        pad = bucket - len(group)
+        seeds = seeds + [seeds[-1]] * pad
+        prompts = prompts + [prompts[-1]] * pad
+        kwargs = dict(group[0].knobs)
+        if self.mesh is not None:
+            kwargs["mesh"] = self.mesh
+        if all(p == prompts[0] for p in prompts):
+            pb = self.pipe.dispatch_batch(seeds, meta_prompt=prompts[0], **kwargs)
+        else:
+            pb = self.pipe.dispatch_batch(seeds, meta_prompts=prompts, **kwargs)
+        self.stats["batches"] += 1
+        self.stats["samples"] += bucket
+        self.stats["padded_samples"] += pad
+        sizes = self.stats["batch_sizes"]
+        sizes[bucket] = sizes.get(bucket, 0) + 1
+        return pb
+
+    def _loop(self) -> None:
+        pending: Optional[Tuple[List[ServeTicket], Any, float]] = None
+        while True:
+            first = self._pop_first(block=pending is None)
+            if first is None:
+                if pending is not None:
+                    self._deliver_outputs(*pending)
+                    pending = None
+                    continue
+                if self._stop:
+                    with self._cv:
+                        if not self._queue:
+                            break
+                    continue
+                continue
+            group = self._gather(first)
+            t0 = time.monotonic()
+            try:
+                with self._pipe_lock:
+                    pb = self._dispatch(group)
+            except BaseException as e:  # noqa: BLE001
+                with self._cv:
+                    self.stats["errors"] += len(group)
+                for t in group:
+                    t._error = e
+                    t._event.set()
+                continue
+            if pending is not None:
+                self._deliver_outputs(*pending)
+            pending = (group, pb, t0)
+        if pending is not None:
+            self._deliver_outputs(*pending)
+
+    def _deliver_outputs(self, group: List[ServeTicket], pending, t0: float) -> None:
+        try:
+            outputs = pending.result()  # the one blocking device->host pull
+        except BaseException as e:  # noqa: BLE001 — fail the group, not the server
+            with self._cv:
+                self.stats["errors"] += len(group)
+            for t in group:
+                t._error = e
+                t._event.set()
+            return
+        self.stats["last_batch_s"] = round(time.monotonic() - t0, 3)
+        for t, out in zip(group, outputs):  # padded outputs are dropped
+            t._output = out
+            t._event.set()
+
+
+# ----------------------------------------------------------------- HTTP
+def _coerce_knobs(payload: Dict[str, Any]) -> Dict[str, Any]:
+    """JSON -> PrepareOptions field types (thresholds keys, tuples)."""
+    knobs = dict(payload)
+    if isinstance(knobs.get("thresholds"), dict):
+        knobs["thresholds"] = {int(k): float(v) for k, v in knobs["thresholds"].items()}
+    if isinstance(knobs.get("scale_range"), list):
+        knobs["scale_range"] = tuple(float(v) for v in knobs["scale_range"])
+    return knobs
+
+
+def _png_bytes(images) -> bytes:
+    from guided_attention_tpu.runtime.artifacts import to_pil
+
+    buf = io.BytesIO()
+    to_pil(images[0]).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 8100,
+                request_timeout_s: float = 600.0):
+    """Build (not start) the ThreadingHTTPServer around a BatchingEngine."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send_json(self, code: int, obj: Dict[str, Any]) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, {
+                    "ok": True,
+                    "device": str(jax.devices()[0]),
+                    "model": engine.pipe.sd.config.name,
+                })
+            elif self.path == "/stats":
+                with engine._cv:
+                    self._send_json(200, dict(engine.stats, queued=len(engine._queue)))
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send_json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise RequestError("request body must be a JSON object")
+                meta_prompt = payload.pop("meta_prompt", "")
+                seed = payload.pop("seed", None)
+                ticket = engine.submit(meta_prompt, seed=seed, **_coerce_knobs(payload))
+            except (RequestError, TypeError, ValueError, json.JSONDecodeError) as e:
+                self._send_json(400, {"error": str(e)})
+                return
+            try:
+                out = ticket.result(timeout=request_timeout_s)
+            except TimeoutError as e:
+                self._send_json(504, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — batch execution failure
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            png = _png_bytes(out.images)
+            self._send_json(200, {
+                "seed": ticket.seed,
+                "prompt": out.prompt,
+                "width": int(out.images.shape[2]),
+                "height": int(out.images.shape[1]),
+                "image_png_b64": base64.b64encode(png).decode(),
+            })
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="sd15", help="sd14/sd15/sd21/micro")
+    p.add_argument("--model_path", default=None, help="local checkpoint dir (random init if omitted)")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8100)
+    p.add_argument("--max_wait_ms", type=float, default=100.0)
+    p.add_argument("--buckets", default="1,2,4,8", help="allowed batch sizes, comma-separated")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile the default-knob program at every bucket size before serving")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from guided_attention_tpu.models.bundle import StableDiffusion
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    sd = StableDiffusion.create(args.model, dtype=dtype, checkpoint_dir=args.model_path)
+    pipe = GuidedAttentionPipeline(sd)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = BatchingEngine(pipe, max_wait_ms=args.max_wait_ms, buckets=buckets)
+
+    if args.warmup:
+        wp = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
+        for b in buckets:
+            t0 = time.monotonic()
+            tickets = [engine.submit(wp, seed=i) for i in range(b)]
+            for t in tickets:
+                t.result()
+            print(f"warmup bucket {b}: {time.monotonic() - t0:.1f} s")
+
+    server = make_server(engine, host=args.host, port=args.port)
+    print(f"guided-attention inference server on http://{args.host}:{args.port} "
+          f"(buckets {buckets}, wait {args.max_wait_ms:.0f} ms)")
+    try:
+        server.serve_forever()
+    finally:
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

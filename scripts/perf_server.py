@@ -1,0 +1,100 @@
+"""Sustained serving throughput through the micro-batching engine on the
+current device (the production path: frontends/server.BatchingEngine).
+
+Measures s/image for a saturated closed-loop client population — N client
+threads each keep one request in flight until the budget is spent — at a
+few concurrency levels. At concurrency >= 8 the engine should coalesce to
+bucket-8 batches and sustain the pipelined batch-8 number (docs/PERF.md:
+1.41 s/image); low concurrency degrades gracefully to smaller buckets.
+
+  python scripts/perf_server.py [--requests N] [--concurrency C ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+META = "a [robot:.6,.3,.4,.55] and a [blue vase:0,.3,.4,.55]"
+META2 = "a [robot:0,.1,.45,.5] and a [blue vase:.55,.4,.4,.5]"
+
+
+def run_load(engine, n_requests: int, concurrency: int) -> float:
+    """Closed loop: `concurrency` clients, one request in flight each."""
+    seeds = iter(range(1, n_requests + 1))
+    lock = threading.Lock()
+    done = []
+
+    def client(i):
+        while True:
+            with lock:
+                seed = next(seeds, None)
+            if seed is None:
+                return
+            prompt = META if seed % 2 else META2  # mixed-prompt traffic
+            out = engine.submit(prompt, seed=seed).result(timeout=1200)
+            assert out.images is not None
+            done.append(seed)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(concurrency)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.time() - t0
+    assert len(done) == n_requests
+    return dt / n_requests
+
+
+def main():
+    args = sys.argv[1:]
+    n_requests = 24
+    if "--requests" in args:
+        n_requests = int(args[args.index("--requests") + 1])
+    concurrencies = [int(a) for a in args if a.isdigit()] or [8, 4, 1]
+
+    from guided_attention_tpu.frontends.server import BatchingEngine
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+    t0 = time.time()
+    sd = StableDiffusion.create("sd15", dtype=jnp.bfloat16)
+    pipe = GuidedAttentionPipeline(sd)
+    print(f"build {time.time()-t0:.1f}s  device {jax.devices()[0]}", file=sys.stderr)
+
+    engine = BatchingEngine(pipe, max_wait_ms=150.0, buckets=(1, 2, 4, 8))
+    # warmup: compile the bucket programs the load will hit
+    t0 = time.time()
+    warm = [engine.submit(META, seed=1000 + i) for i in range(8)]
+    for t in warm:
+        t.result(timeout=3600)
+    print(f"warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    for c in concurrencies:
+        before = dict(engine.stats["batch_sizes"])
+        s_per_img = run_load(engine, n_requests, c)
+        after = engine.stats["batch_sizes"]
+        used = {k: after.get(k, 0) - before.get(k, 0) for k in after if after.get(k, 0) != before.get(k, 0)}
+        print(f"concurrency {c:2d}: {s_per_img:.3f} s/image sustained "
+              f"({n_requests} reqs, buckets used {used}, "
+              f"padded {engine.stats['padded_samples']})")
+    engine.close()
+
+
+if __name__ == "__main__":
+    main()

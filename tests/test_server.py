@@ -1,0 +1,130 @@
+"""Serving frontend: micro-batching engine + HTTP protocol on the micro model.
+
+The engine must (1) coalesce compatible concurrent requests into ONE sharded
+batch program, (2) keep incompatible knobs/spec-structures in separate
+batches, (3) pad to bucket sizes and drop padded outputs, and (4) match the
+direct runner.generate_batch results exactly (same program, same seeds).
+"""
+import base64
+import json
+import threading
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from guided_attention_tpu.frontends.server import BatchingEngine, RequestError, make_server
+from guided_attention_tpu.models.bundle import StableDiffusion
+from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+PROMPT = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
+PROMPT2 = "a [cat:.6,.3,.4,.55] and a [bowl:0,.3,.4,.55]"
+KNOBS = dict(num_inference_steps=2, max_iter_to_alter=1, thresholds={0: 0.1})
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    sd = StableDiffusion.create("micro", dtype=jnp.float32)
+    return GuidedAttentionPipeline(sd)
+
+
+@pytest.fixture()
+def engine(pipe):
+    eng = BatchingEngine(pipe, max_wait_ms=3000.0, buckets=(1, 2, 4))
+    yield eng
+    eng.close()
+
+
+def test_coalesces_compatible_requests_and_pads(pipe, engine):
+    # 3 compatible requests (2 distinct prompts) -> ONE bucket-4 batch, 1 pad
+    tickets = [
+        engine.submit(PROMPT, seed=1, **KNOBS),
+        engine.submit(PROMPT, seed=2, **KNOBS),
+        engine.submit(PROMPT2, seed=3, **KNOBS),
+    ]
+    outs = [t.result(timeout=600) for t in tickets]
+    assert engine.stats["batches"] == 1
+    assert engine.stats["batch_sizes"] == {4: 1}
+    assert engine.stats["padded_samples"] == 1
+    assert engine.stats["requests"] == 3 and engine.stats["errors"] == 0
+
+    for out, t in zip(outs, tickets):
+        assert out.images is not None and out.images.shape[0] == 1
+        assert np.isfinite(out.images).all()
+        assert out.prompt.startswith("a ")
+    # multi-prompt: prompt 3's parse differs and so must its image
+    assert outs[2].prompt != outs[0].prompt
+    assert not np.allclose(outs[2].images, outs[0].images)
+    # same knobs+seed through the direct batch API gives identical pixels
+    direct = pipe.generate_batch(
+        [1, 2, 3, 3],
+        meta_prompts=[PROMPT, PROMPT, PROMPT2, PROMPT2],
+        capture_diagnostics=False,
+        **KNOBS,
+    )
+    for out, ref in zip(outs, direct):
+        np.testing.assert_allclose(out.images, ref.images, atol=1e-6)
+
+
+def test_incompatible_knobs_split_batches(engine):
+    t1 = engine.submit(PROMPT, seed=1, **KNOBS)
+    t2 = engine.submit(PROMPT, seed=2, guidance_scale=3.0, **KNOBS)
+    # different spec STRUCTURE (1 group vs 2) must also split
+    t3 = engine.submit("a [robot:.6,.3,.4,.55] alone", seed=3, **KNOBS)
+    for t in (t1, t2, t3):
+        t.result(timeout=600)
+    assert engine.stats["batches"] == 3
+    assert engine.stats["batch_sizes"].get(1) == 3
+
+
+def test_submit_validation(engine):
+    with pytest.raises(RequestError, match="unknown field"):
+        engine.submit(PROMPT, seed=1, not_a_knob=True)
+    with pytest.raises(RequestError, match="non-empty"):
+        engine.submit("   ")
+    with pytest.raises(RequestError, match="invalid request"):
+        # type-invalid knob -> _prepare raises -> per-request 400, not a
+        # poisoned batch (malformed ANNOTATIONS degrade to plain text by
+        # reference grammar parity, annotation.py, so they aren't errors)
+        engine.submit(PROMPT, seed=1, num_inference_steps="nope")
+    assert engine.stats["requests"] == 0  # nothing reached the queue
+
+
+def test_http_roundtrip(engine):
+    import http.client
+
+    server = make_server(engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] is True and health["model"] == "micro"
+
+        body = json.dumps(dict(meta_prompt=PROMPT, seed=11,
+                               thresholds={"0": 0.1}, num_inference_steps=2,
+                               max_iter_to_alter=1))
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn2.request("POST", "/generate", body=body,
+                      headers={"Content-Type": "application/json"})
+        resp = conn2.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        assert out["seed"] == 11 and out["prompt"].startswith("a ")
+        png = base64.b64decode(out["image_png_b64"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert out["width"] > 0 and out["height"] > 0
+
+        conn3 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn3.request("POST", "/generate", body=json.dumps({"meta_prompt": ""}),
+                      headers={"Content-Type": "application/json"})
+        assert conn3.getresponse().status == 400
+
+        conn4 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn4.request("GET", "/stats")
+        stats = json.loads(conn4.getresponse().read())
+        assert stats["requests"] >= 1 and stats["batches"] >= 1
+    finally:
+        server.shutdown()
+        server.server_close()
