@@ -77,22 +77,30 @@ def main():
     pipe = GuidedAttentionPipeline(sd)
     print(f"build {time.time()-t0:.1f}s  device {jax.devices()[0]}", file=sys.stderr)
 
-    engine = BatchingEngine(pipe, max_wait_ms=150.0, buckets=(1, 2, 4, 8))
-    # warmup: compile the bucket programs the load will hit
-    t0 = time.time()
-    warm = [engine.submit(META, seed=1000 + i) for i in range(8)]
-    for t in warm:
-        t.result(timeout=3600)
-    print(f"warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    # production config for steady >=4-concurrent traffic: min bucket 4 so a
+    # straggler group never compiles a cold batch-1/2 program mid-serve
+    engine = BatchingEngine(pipe, max_wait_ms=150.0, buckets=(4, 8))
+    # warmup: compile BOTH bucket programs the load will hit, with MIXED
+    # prompts like the load (the multi-prompt program is a separate
+    # executable from the shared-prompt one — per_prompt is in the cache key)
+    for n in (4, 8):
+        t0 = time.time()
+        warm = [
+            engine.submit(META if i % 2 else META2, seed=1000 * n + i) for i in range(n)
+        ]
+        for t in warm:
+            t.result(timeout=3600)
+        print(f"warmup bucket {n}: {time.time()-t0:.1f}s", file=sys.stderr)
 
     for c in concurrencies:
         before = dict(engine.stats["batch_sizes"])
+        pad_before = engine.stats["padded_samples"]
         s_per_img = run_load(engine, n_requests, c)
         after = engine.stats["batch_sizes"]
         used = {k: after.get(k, 0) - before.get(k, 0) for k in after if after.get(k, 0) != before.get(k, 0)}
         print(f"concurrency {c:2d}: {s_per_img:.3f} s/image sustained "
               f"({n_requests} reqs, buckets used {used}, "
-              f"padded {engine.stats['padded_samples']})")
+              f"padded {engine.stats['padded_samples'] - pad_before})")
     engine.close()
 
 
