@@ -15,3 +15,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-program caches after each module. The full suite
+    accumulates hundreds of CPU executables in one process; past ~100 tests
+    that deterministically segfaults XLA:CPU's compiler (observed twice at
+    the same test, 2026-08-18; every module subset passes in isolation).
+    Model/pipeline fixtures are module-scoped, so nothing is shared across
+    modules anyway — clearing only trades a little recompile time."""
+    yield
+    jax.clear_caches()
