@@ -30,8 +30,10 @@ HTTP protocol (stdlib ThreadingHTTPServer; handler threads block on the
 batcher, the batcher owns all device dispatch):
   POST /generate {"meta_prompt": "...", "seed"?: int, <generation knobs>}
        -> {"seed", "prompt", "width", "height", "image_png_b64"}
+       400 invalid request | 503 queue full (load shed) | 504 timeout
   GET  /healthz  -> {"ok", "device", "model"}
-  GET  /stats    -> batching counters (requests, batches, sizes, padding)
+  GET  /stats    -> batching counters (requests, batches, sizes, padding,
+                    shed) + e2e latency percentiles (p50/p95/max)
 
 Run:  python -m guided_attention_tpu.frontends.server --model sd15 --port 8100
 """
@@ -65,6 +67,14 @@ _KNOB_FIELDS = tuple(
 
 class RequestError(ValueError):
     """A per-request validation error (HTTP 400)."""
+
+
+class OverloadedError(RuntimeError):
+    """Queue depth limit hit — load is shed instead of queued (HTTP 503).
+
+    An unbounded queue converts overload into minutes of per-request
+    latency; bounding it keeps tail latency ~= max_queue x batch time and
+    lets upstream load balancers react."""
 
 
 @dataclasses.dataclass
@@ -105,6 +115,8 @@ class BatchingEngine:
         max_wait_ms: float = 100.0,
         buckets: Tuple[int, ...] = (1, 2, 4, 8),
         mesh=None,
+        max_queue: int = 64,
+        _start_thread: bool = True,
     ):
         self.pipe = pipe
         self.max_wait_s = max_wait_ms / 1000.0
@@ -112,15 +124,28 @@ class BatchingEngine:
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError(f"invalid batch buckets: {buckets}")
         self.mesh = mesh
+        if mesh is not None:
+            # the batch axis shards over "data": every dispatched (bucketed)
+            # batch must divide evenly across it
+            data = dict(mesh.shape).get("data", 1)
+            bad = [b for b in self.buckets if b % data]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh data axis ({data})"
+                )
         self.max_batch = self.buckets[-1]
+        self.max_queue = int(max_queue)
 
         self._queue: deque[ServeTicket] = deque()
         self._cv = threading.Condition()
         self._pipe_lock = threading.Lock()
+        self._in_prepare = 0  # admitted, still in submit-time prepare
         self._stop = False
+        self._latencies: deque[float] = deque(maxlen=256)  # completed e2e, s
         self.stats: Dict[str, Any] = {
             "requests": 0,
             "errors": 0,
+            "shed": 0,  # rejected by the queue depth limit (503s)
             "batches": 0,
             "samples": 0,
             "padded_samples": 0,
@@ -128,7 +153,8 @@ class BatchingEngine:
             "last_batch_s": None,
         }
         self._thread = threading.Thread(target=self._loop, name="ga-batcher", daemon=True)
-        self._thread.start()
+        if _start_thread:  # tests fill the queue deterministically first
+            self._thread.start()
 
     # ------------------------------------------------------------- submit
     def submit(self, meta_prompt: str, seed: Optional[int] = None, **knobs) -> ServeTicket:
@@ -142,34 +168,70 @@ class BatchingEngine:
             seed = random.randrange(4294967294)  # reference gui.py:29
         knobs.setdefault("capture_diagnostics", False)  # serving: image path
 
-        opts = PrepareOptions(meta_prompt=meta_prompt, **knobs)
-        with self._pipe_lock:
-            try:
-                prepared = self.pipe._prepare(opts)
-            except RequestError:
-                raise
-            except Exception as e:  # parse/spec/tokenize errors -> 400
-                raise RequestError(f"invalid request: {e}") from e
-        spec = prepared[3]
-        # batchable iff every non-prompt knob matches AND the spec's static
-        # structure matches (runner._stack_specs constraint). cache_key is
-        # derived from PrepareOptions' field list -> new knobs can't leak.
-        key_opts = dataclasses.replace(opts, meta_prompt="")
-        group_key = (
-            key_opts.cache_key(self.pipe._registry_version),
-            spec.n_groups,
-            spec.custom_group,
-            spec.custom_losses,
-        )
-
-        ticket = ServeTicket(meta_prompt=meta_prompt, seed=int(seed), knobs=knobs, group_key=group_key)
+        # Admission control BEFORE prepare: prepare contends on _pipe_lock
+        # with in-flight dispatches (a cold-compile dispatch holds it for
+        # tens of seconds), so requests waiting on that lock are load too —
+        # an overloaded 503 must return immediately, not after the wait.
         with self._cv:
+            if self._stop:
+                raise RuntimeError("engine is shut down")
+            if len(self._queue) + self._in_prepare >= self.max_queue:
+                self.stats["shed"] += 1
+                raise OverloadedError(
+                    f"queue full ({self.max_queue} requests waiting) — retry later"
+                )
+            self._in_prepare += 1
+
+        try:
+            opts = PrepareOptions(meta_prompt=meta_prompt, **knobs)
+            with self._pipe_lock:
+                try:
+                    prepared = self.pipe._prepare(opts)
+                except RequestError:
+                    raise
+                except Exception as e:  # parse/spec/tokenize errors -> 400
+                    raise RequestError(f"invalid request: {e}") from e
+            spec = prepared[3]
+            # batchable iff every non-prompt knob matches AND the spec's
+            # static structure matches (runner._stack_specs constraint).
+            # cache_key is derived from PrepareOptions' field list -> new
+            # knobs can't leak.
+            key_opts = dataclasses.replace(opts, meta_prompt="")
+            group_key = (
+                key_opts.cache_key(self.pipe._registry_version),
+                spec.n_groups,
+                spec.custom_group,
+                spec.custom_losses,
+            )
+            ticket = ServeTicket(
+                meta_prompt=meta_prompt, seed=int(seed), knobs=knobs, group_key=group_key
+            )
+        except BaseException:
+            with self._cv:
+                self._in_prepare -= 1
+            raise
+
+        with self._cv:
+            self._in_prepare -= 1  # the admitted slot becomes the queue slot
             if self._stop:
                 raise RuntimeError("engine is shut down")
             self._queue.append(ticket)
             self.stats["requests"] += 1
             self._cv.notify_all()
         return ticket
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Stats + derived latency percentiles (last 256 completed requests)."""
+        with self._cv:
+            snap = dict(self.stats, queued=len(self._queue), preparing=self._in_prepare)
+            lats = sorted(self._latencies)
+        if lats:
+            snap["latency_s"] = {
+                "p50": round(lats[len(lats) // 2], 3),
+                "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
+                "max": round(lats[-1], 3),
+            }
+        return snap
 
     def close(self, timeout: float = 60.0) -> None:
         """Drain the queue, deliver everything in flight, stop the thread."""
@@ -272,9 +334,11 @@ class BatchingEngine:
                 t._error = e
                 t._event.set()
             return
-        self.stats["last_batch_s"] = round(time.monotonic() - t0, 3)
+        now = time.monotonic()
+        self.stats["last_batch_s"] = round(now - t0, 3)
         for t, out in zip(group, outputs):  # padded outputs are dropped
             t._output = out
+            self._latencies.append(now - t.submitted_at)
             t._event.set()
 
 
@@ -325,8 +389,7 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                     "model": engine.pipe.sd.config.name,
                 })
             elif self.path == "/stats":
-                with engine._cv:
-                    self._send_json(200, dict(engine.stats, queued=len(engine._queue)))
+                self._send_json(200, engine.snapshot())
             else:
                 self._send_json(404, {"error": "not found"})
 
@@ -342,6 +405,9 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                 meta_prompt = payload.pop("meta_prompt", "")
                 seed = payload.pop("seed", None)
                 ticket = engine.submit(meta_prompt, seed=seed, **_coerce_knobs(payload))
+            except OverloadedError as e:
+                self._send_json(503, {"error": str(e)})
+                return
             except (RequestError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
                 return
@@ -375,6 +441,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8100)
     p.add_argument("--max_wait_ms", type=float, default=100.0)
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="queue depth limit; excess requests get HTTP 503 (load shedding)")
     p.add_argument("--buckets", default="1,2,4,8", help="allowed batch sizes, comma-separated")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the default-knob program at every bucket size before serving")
@@ -388,7 +456,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     sd = StableDiffusion.create(args.model, dtype=dtype, checkpoint_dir=args.model_path)
     pipe = GuidedAttentionPipeline(sd)
     buckets = tuple(int(b) for b in args.buckets.split(","))
-    engine = BatchingEngine(pipe, max_wait_ms=args.max_wait_ms, buckets=buckets)
+    engine = BatchingEngine(pipe, max_wait_ms=args.max_wait_ms, buckets=buckets,
+                            max_queue=args.max_queue)
 
     if args.warmup:
         wp = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"

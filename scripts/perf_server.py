@@ -65,8 +65,10 @@ def main():
     args = sys.argv[1:]
     n_requests = 24
     if "--requests" in args:
-        n_requests = int(args[args.index("--requests") + 1])
-    concurrencies = [int(a) for a in args if a.isdigit()] or [8, 4, 1]
+        i = args.index("--requests")
+        n_requests = int(args[i + 1])
+        del args[i : i + 2]
+    concurrencies = [int(a) for a in args if a.isdigit()] or [8, 4]
 
     from guided_attention_tpu.frontends.server import BatchingEngine
     from guided_attention_tpu.models.bundle import StableDiffusion

@@ -13,7 +13,12 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from guided_attention_tpu.frontends.server import BatchingEngine, RequestError, make_server
+from guided_attention_tpu.frontends.server import (
+    BatchingEngine,
+    OverloadedError,
+    RequestError,
+    make_server,
+)
 from guided_attention_tpu.models.bundle import StableDiffusion
 from guided_attention_tpu.runner import GuidedAttentionPipeline
 
@@ -88,6 +93,45 @@ def test_submit_validation(engine):
         # reference grammar parity, annotation.py, so they aren't errors)
         engine.submit(PROMPT, seed=1, num_inference_steps="nope")
     assert engine.stats["requests"] == 0  # nothing reached the queue
+
+
+def test_load_shedding(pipe):
+    # batcher not started: the queue fills deterministically
+    eng = BatchingEngine(pipe, max_queue=2, _start_thread=False)
+    eng.submit(PROMPT, seed=1, **KNOBS)
+    eng.submit(PROMPT, seed=2, **KNOBS)
+    with pytest.raises(OverloadedError, match="queue full"):
+        eng.submit(PROMPT, seed=3, **KNOBS)
+    assert eng.stats["shed"] == 1 and eng.stats["requests"] == 2
+    # draining: starting the batcher delivers the two queued tickets
+    eng._thread.start()
+    eng.close(timeout=600)
+    snap = eng.snapshot()
+    assert snap["queued"] == 0 and snap["batches"] >= 1
+    assert "latency_s" in snap and snap["latency_s"]["p95"] >= snap["latency_s"]["p50"] > 0
+
+
+def test_serving_over_dp_tp_mesh(pipe):
+    # serving composes with sharding: batches dispatch over a 2x2 dp x tp
+    # mesh (batch sharded over "data", UNet projections over "tensor")
+    from guided_attention_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2, "tensor": 2})
+    with pytest.raises(ValueError, match="not divisible"):
+        BatchingEngine(pipe, buckets=(1, 2), mesh=mesh, _start_thread=False)
+    eng = BatchingEngine(pipe, max_wait_ms=3000.0, buckets=(2, 4), mesh=mesh)
+    try:
+        tickets = [
+            eng.submit(PROMPT, seed=1, **KNOBS),
+            eng.submit(PROMPT2, seed=2, **KNOBS),
+            eng.submit(PROMPT, seed=3, **KNOBS),
+        ]
+        outs = [t.result(timeout=600) for t in tickets]
+    finally:
+        eng.close()
+    assert eng.stats["batch_sizes"] == {4: 1}
+    for out in outs:
+        assert out.images is not None and np.isfinite(out.images).all()
 
 
 def test_http_roundtrip(engine):
