@@ -159,6 +159,8 @@ class BatchingEngine:
     # ------------------------------------------------------------- submit
     def submit(self, meta_prompt: str, seed: Optional[int] = None, **knobs) -> ServeTicket:
         """Validate, prepare (spec + CLIP embed, cached), and enqueue."""
+        t_submit = time.monotonic()  # BEFORE the prepare/_pipe_lock wait:
+        # that wait is part of client-visible latency, /stats must see it
         unknown = set(knobs) - set(_KNOB_FIELDS)
         if unknown:
             raise RequestError(f"unknown field(s): {sorted(unknown)}")
@@ -204,7 +206,8 @@ class BatchingEngine:
                 spec.custom_losses,
             )
             ticket = ServeTicket(
-                meta_prompt=meta_prompt, seed=int(seed), knobs=knobs, group_key=group_key
+                meta_prompt=meta_prompt, seed=int(seed), knobs=knobs,
+                group_key=group_key, submitted_at=t_submit,
             )
         except BaseException:
             with self._cv:
@@ -224,6 +227,7 @@ class BatchingEngine:
         """Stats + derived latency percentiles (last 256 completed requests)."""
         with self._cv:
             snap = dict(self.stats, queued=len(self._queue), preparing=self._in_prepare)
+            snap["batch_sizes"] = dict(self.stats["batch_sizes"])  # not shared
             lats = sorted(self._latencies)
         if lats:
             snap["latency_s"] = {
@@ -239,6 +243,12 @@ class BatchingEngine:
             self._stop = True
             self._cv.notify_all()
         self._thread.join(timeout)
+        if self._thread.is_alive():  # loud: a silent zombie batcher would
+            # race the next engine over the shared pipeline's program caches
+            raise RuntimeError(
+                f"batcher did not drain within {timeout}s (mid-compile?); "
+                "in-flight requests are still running"
+            )
 
     # ------------------------------------------------------------ batcher
     def _pop_first(self, block: bool) -> Optional[ServeTicket]:
@@ -284,11 +294,12 @@ class BatchingEngine:
             pb = self.pipe.dispatch_batch(seeds, meta_prompt=prompts[0], **kwargs)
         else:
             pb = self.pipe.dispatch_batch(seeds, meta_prompts=prompts, **kwargs)
-        self.stats["batches"] += 1
-        self.stats["samples"] += bucket
-        self.stats["padded_samples"] += pad
-        sizes = self.stats["batch_sizes"]
-        sizes[bucket] = sizes.get(bucket, 0) + 1
+        with self._cv:  # snapshot()/handlers read stats concurrently
+            self.stats["batches"] += 1
+            self.stats["samples"] += bucket
+            self.stats["padded_samples"] += pad
+            sizes = self.stats["batch_sizes"]
+            sizes[bucket] = sizes.get(bucket, 0) + 1
         return pb
 
     def _loop(self) -> None:
@@ -335,10 +346,12 @@ class BatchingEngine:
                 t._event.set()
             return
         now = time.monotonic()
-        self.stats["last_batch_s"] = round(now - t0, 3)
+        with self._cv:  # snapshot() iterates _latencies concurrently
+            self.stats["last_batch_s"] = round(now - t0, 3)
+            for t in group:
+                self._latencies.append(now - t.submitted_at)
         for t, out in zip(group, outputs):  # padded outputs are dropped
             t._output = out
-            self._latencies.append(now - t.submitted_at)
             t._event.set()
 
 
@@ -405,7 +418,8 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                 meta_prompt = payload.pop("meta_prompt", "")
                 seed = payload.pop("seed", None)
                 ticket = engine.submit(meta_prompt, seed=seed, **_coerce_knobs(payload))
-            except OverloadedError as e:
+            except (OverloadedError, RuntimeError) as e:
+                # RuntimeError: engine shut down mid-request — retryable
                 self._send_json(503, {"error": str(e)})
                 return
             except (RequestError, TypeError, ValueError, json.JSONDecodeError) as e:
@@ -460,13 +474,24 @@ def main(argv: Optional[List[str]] = None) -> None:
                             max_queue=args.max_queue)
 
     if args.warmup:
+        # compile BOTH program variants per bucket: shared-prompt and
+        # multi-prompt batches are distinct executables (per_prompt is in
+        # the runner's batch-program cache key) — a serve-time cold compile
+        # would stall every concurrent submit behind the pipeline lock
         wp = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
+        wp2 = "a [robot:0,.1,.45,.5] and a [vase:.55,.4,.4,.5]"
         for b in buckets:
-            t0 = time.monotonic()
-            tickets = [engine.submit(wp, seed=i) for i in range(b)]
-            for t in tickets:
-                t.result()
-            print(f"warmup bucket {b}: {time.monotonic() - t0:.1f} s")
+            for label, prompts in (
+                ("same-prompt", [wp] * b),
+                ("multi-prompt", [(wp if i % 2 else wp2) for i in range(b)]),
+            ):
+                if label == "multi-prompt" and b == 1:
+                    continue  # a 1-batch is always same-prompt
+                t0 = time.monotonic()
+                tickets = [engine.submit(p, seed=i) for i, p in enumerate(prompts)]
+                for t in tickets:
+                    t.result()
+                print(f"warmup bucket {b} ({label}): {time.monotonic() - t0:.1f} s")
 
     server = make_server(engine, host=args.host, port=args.port)
     print(f"guided-attention inference server on http://{args.host}:{args.port} "

@@ -62,13 +62,14 @@ def run_load(engine, n_requests: int, concurrency: int) -> float:
 
 
 def main():
-    args = sys.argv[1:]
-    n_requests = 24
-    if "--requests" in args:
-        i = args.index("--requests")
-        n_requests = int(args[i + 1])
-        del args[i : i + 2]
-    concurrencies = [int(a) for a in args if a.isdigit()] or [8, 4]
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--requests", type=int, default=24, help="requests per load level")
+    ap.add_argument("concurrency", type=int, nargs="*", default=[8, 4],
+                    help="closed-loop client counts to measure")
+    args = ap.parse_args()
+    n_requests, concurrencies = args.requests, args.concurrency
 
     from guided_attention_tpu.frontends.server import BatchingEngine
     from guided_attention_tpu.models.bundle import StableDiffusion
@@ -82,17 +83,16 @@ def main():
     # production config for steady >=4-concurrent traffic: min bucket 4 so a
     # straggler group never compiles a cold batch-1/2 program mid-serve
     engine = BatchingEngine(pipe, max_wait_ms=150.0, buckets=(4, 8))
-    # warmup: compile BOTH bucket programs the load will hit, with MIXED
-    # prompts like the load (the multi-prompt program is a separate
-    # executable from the shared-prompt one — per_prompt is in the cache key)
+    # warmup: compile every program the load can hit — both buckets, in BOTH
+    # variants (shared-prompt for padded straggler groups, multi-prompt for
+    # mixed traffic; per_prompt is in the runner's batch-program cache key)
     for n in (4, 8):
-        t0 = time.time()
-        warm = [
-            engine.submit(META if i % 2 else META2, seed=1000 * n + i) for i in range(n)
-        ]
-        for t in warm:
-            t.result(timeout=3600)
-        print(f"warmup bucket {n}: {time.time()-t0:.1f}s", file=sys.stderr)
+        for label, mk in (("same", lambda i: META), ("mixed", lambda i: META if i % 2 else META2)):
+            t0 = time.time()
+            warm = [engine.submit(mk(i), seed=1000 * n + i) for i in range(n)]
+            for t in warm:
+                t.result(timeout=3600)
+            print(f"warmup bucket {n} ({label}): {time.time()-t0:.1f}s", file=sys.stderr)
 
     for c in concurrencies:
         before = dict(engine.stats["batch_sizes"])
