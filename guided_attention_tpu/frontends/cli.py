@@ -23,12 +23,10 @@ from guided_attention_tpu.config import HyperParams, RunConfig, get_hyperparam_s
 from guided_attention_tpu.guidance.custom import default_registry
 from guided_attention_tpu.parallel.multihost import initialize as multihost_initialize, is_primary
 from guided_attention_tpu.runtime.artifacts import (
-    ArtifactWriter,
     annotate_image,
-    dict_to_string,
     image_grid,
-    save_latent_stats_figure,
     to_pil,
+    write_run_artifacts,
 )
 
 
@@ -226,63 +224,20 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
         return None
 
     for seed, hp, meta_prompt, out in work:
-        hp_state = {
-            "strict": hp.strict,
-            "inside_loss_scale": hp.inside_loss_scale,
-            "outside_loss_scale": hp.outside_loss_scale,
-            "shrink_factor": hp.shrink_factor,
-            "thresholds": hp.thresholds,
-            "use_optimizer": hp.use_optimizer,
-            "recurse_until": hp.recurse_until,
-            "recurse_steps": hp.recurse_steps,
-        }
-        writer = ArtifactWriter(
-            config.output_path,
-            meta_prompt,
-            seed,
-            dict_to_string(hp_state),
+        img, image_path, writer = write_run_artifacts(
+            pipe,
+            out,
+            output_path=config.output_path,
+            seed=seed,
+            hp=hp,
+            meta_prompt=meta_prompt,
             interactive=config.interactive,
+            annotate=config.annotate,
+            save_cross_attention_maps=config.save_cross_attention_maps,
+            diagnostic_level=config.diagnostic_level,
+            save_all_maps=config.save_all_maps,
+            save_individual_ca_maps_flag=config.save_individual_ca_maps,
         )
-        words = {tok: word for tok, word in out.spec.words}
-        if config.save_all_maps:
-            # dump a map PNG for every real prompt token (config.py:51)
-            ids = pipe.sd.tokenizer.encode(out.prompt)
-            words = {
-                i: pipe.sd.tokenizer.decode([t]) for i, t in enumerate(ids) if 0 < i < len(ids) - 1
-            }
-        img, image_path = writer.write_final_image(out, out.annotations, config.annotate)
-        writer.write_run_log(out, words)
-        if config.save_cross_attention_maps:
-            # final-step per-token JET overlays (the reference parses but
-            # never reads this flag; here it feeds the relevance viewer)
-            from guided_attention_tpu.viewers.vis import show_cross_attention
-
-            show_cross_attention(
-                out,
-                list(out.spec.words),
-                save_path=writer.run_dir / f"{seed}{writer.hyper_suffix}cross_attention.png",
-            )
-        if config.diagnostic_level > 0:
-            save_latent_stats_figure(
-                out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
-            )
-        if config.save_all_maps:
-            from guided_attention_tpu.runtime.artifacts import write_eval_maps
-
-            write_eval_maps(writer, out, words)
-        else:
-            writer.write_step_maps(out, words)
-        always_save = [0, 1, 2]  # pipeline:881
-        if config.diagnostic_level > 0 or always_save:
-            writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)
-        if config.save_individual_ca_maps:
-            from guided_attention_tpu.runtime.artifacts import save_individual_ca_maps
-
-            save_individual_ca_maps(pipe, out, step=12, heads_dir=writer.step_dir / "heads")
-        if config.diagnostic_level > 0:
-            from guided_attention_tpu.runtime.artifacts import save_diagnostic_preds
-
-            save_diagnostic_preds(pipe, out, writer, config.diagnostic_level)
         images.append(img)
 
     grid = image_grid(images)

@@ -28,8 +28,10 @@ Design:
 
 HTTP protocol (stdlib ThreadingHTTPServer; handler threads block on the
 batcher, the batcher owns all device dispatch):
-  POST /generate {"meta_prompt": "...", "seed"?: int, <generation knobs>}
-       -> {"seed", "prompt", "width", "height", "image_png_b64"}
+  POST /generate {"meta_prompt": "...", "seed"?: int, <generation knobs>,
+                  "save_artifacts"?: bool, "annotate"?: bool}
+       -> {"seed", "prompt", "width", "height", "image_png_b64",
+           "artifacts_path"?}
        400 invalid request | 503 queue full (load shed) | 504 timeout
   GET  /healthz  -> {"ok", "device", "model"}
   GET  /stats    -> batching counters (requests, batches, sizes, padding,
@@ -375,9 +377,17 @@ def _png_bytes(images) -> bytes:
 
 
 def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 8100,
-                request_timeout_s: float = 600.0):
-    """Build (not start) the ThreadingHTTPServer around a BatchingEngine."""
+                request_timeout_s: float = 600.0, artifact_dir=None):
+    """Build (not start) the ThreadingHTTPServer around a BatchingEngine.
+
+    ``artifact_dir`` enables per-request full artifact trees (the
+    reference's per-seed output block): a request passing
+    ``"save_artifacts": true`` gets the final image + run log + attention
+    maps + x0 preds written under that directory (written by the handler
+    thread after delivery — the batcher never blocks on PNG IO) and an
+    ``artifacts_path`` field in the response."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from pathlib import Path
 
     import jax
 
@@ -417,6 +427,16 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                     raise RequestError("request body must be a JSON object")
                 meta_prompt = payload.pop("meta_prompt", "")
                 seed = payload.pop("seed", None)
+                save_artifacts = bool(payload.pop("save_artifacts", False))
+                annotate = bool(payload.pop("annotate", False))
+                if save_artifacts:
+                    if artifact_dir is None:
+                        raise RequestError(
+                            "save_artifacts requires the server to run with --artifact_dir"
+                        )
+                    # artifact parity (maps, x0 preds, log) needs the
+                    # diagnostics captured in the scan outputs
+                    payload.setdefault("capture_diagnostics", True)
                 ticket = engine.submit(meta_prompt, seed=seed, **_coerce_knobs(payload))
             except (OverloadedError, RuntimeError) as e:
                 # RuntimeError: engine shut down mid-request — retryable
@@ -433,14 +453,35 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
             except Exception as e:  # noqa: BLE001 — batch execution failure
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            png = _png_bytes(out.images)
-            self._send_json(200, {
+            resp = {
                 "seed": ticket.seed,
                 "prompt": out.prompt,
                 "width": int(out.images.shape[2]),
                 "height": int(out.images.shape[1]),
-                "image_png_b64": base64.b64encode(png).decode(),
-            })
+                "image_png_b64": base64.b64encode(_png_bytes(out.images)).decode(),
+            }
+            if save_artifacts:
+                from guided_attention_tpu.config import HyperParams
+                from guided_attention_tpu.runtime.artifacts import write_run_artifacts
+
+                # reconstruct the hp the runner derived for this request
+                # (meta_prompt path: defaults + thresholds override,
+                # runner._prepare_uncached)
+                hp = HyperParams()
+                if ticket.knobs.get("thresholds") is not None:
+                    hp = hp.replace(thresholds=ticket.knobs["thresholds"])
+                _, image_path, _ = write_run_artifacts(
+                    engine.pipe,
+                    out,
+                    output_path=Path(artifact_dir),
+                    seed=ticket.seed,
+                    hp=hp,
+                    meta_prompt=ticket.meta_prompt,
+                    annotate=annotate,
+                    diagnostic_level=int(ticket.knobs.get("diagnostic_level", 0)),
+                )
+                resp["artifacts_path"] = str(image_path)
+            self._send_json(200, resp)
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -457,6 +498,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--max_wait_ms", type=float, default=100.0)
     p.add_argument("--max_queue", type=int, default=64,
                    help="queue depth limit; excess requests get HTTP 503 (load shedding)")
+    p.add_argument("--artifact_dir", default=None,
+                   help="enable per-request artifact trees (request field save_artifacts)")
     p.add_argument("--buckets", default="1,2,4,8", help="allowed batch sizes, comma-separated")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the default-knob program at every bucket size before serving")
@@ -493,7 +536,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                     t.result()
                 print(f"warmup bucket {b} ({label}): {time.monotonic() - t0:.1f} s")
 
-    server = make_server(engine, host=args.host, port=args.port)
+    server = make_server(engine, host=args.host, port=args.port,
+                         artifact_dir=args.artifact_dir)
     print(f"guided-attention inference server on http://{args.host}:{args.port} "
           f"(buckets {buckets}, wait {args.max_wait_ms:.0f} ms)")
     try:

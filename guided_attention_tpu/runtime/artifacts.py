@@ -457,3 +457,79 @@ def write_eval_maps(writer: "ArtifactWriter", out, words: Dict[int, str]) -> Non
                     writer.step_dir / fname,
                 )
     writer.async_writer.flush()
+
+
+def write_run_artifacts(
+    pipe,
+    out,
+    *,
+    output_path: Path,
+    seed: int,
+    hp,
+    meta_prompt: str,
+    interactive: bool = False,
+    annotate: bool = False,
+    save_cross_attention_maps: bool = False,
+    diagnostic_level: int = 0,
+    save_all_maps: bool = False,
+    save_individual_ca_maps_flag: bool = False,
+):
+    """Write one generation's full artifact tree (the reference's per-seed
+    output block, run.py:104-135): final image (+ annotation overlay),
+    machine-parsed run log, per-step attention-map PNGs, x0 prediction
+    snapshots, latent-stats figure, optional per-head/JET/diagnostic dumps.
+
+    Shared by the CLI sweep loop and the serving frontend's per-request
+    artifact mode. Returns (pil_image, image_path, writer)."""
+    hp_state = {
+        "strict": hp.strict,
+        "inside_loss_scale": hp.inside_loss_scale,
+        "outside_loss_scale": hp.outside_loss_scale,
+        "shrink_factor": hp.shrink_factor,
+        "thresholds": hp.thresholds,
+        "use_optimizer": hp.use_optimizer,
+        "recurse_until": hp.recurse_until,
+        "recurse_steps": hp.recurse_steps,
+    }
+    writer = ArtifactWriter(
+        output_path,
+        meta_prompt,
+        seed,
+        dict_to_string(hp_state),
+        interactive=interactive,
+    )
+    words = {tok: word for tok, word in out.spec.words}
+    if save_all_maps:
+        # dump a map PNG for every real prompt token (reference config.py:51)
+        ids = pipe.sd.tokenizer.encode(out.prompt)
+        words = {
+            i: pipe.sd.tokenizer.decode([t]) for i, t in enumerate(ids) if 0 < i < len(ids) - 1
+        }
+    img, image_path = writer.write_final_image(out, out.annotations, annotate)
+    writer.write_run_log(out, words)
+    if save_cross_attention_maps:
+        # final-step per-token JET overlays (the reference parses but never
+        # reads this flag; here it feeds the relevance viewer)
+        from guided_attention_tpu.viewers.vis import show_cross_attention
+
+        show_cross_attention(
+            out,
+            list(out.spec.words),
+            save_path=writer.run_dir / f"{seed}{writer.hyper_suffix}cross_attention.png",
+        )
+    if diagnostic_level > 0:
+        save_latent_stats_figure(
+            out.diagnostics, writer.run_dir / f"{seed}{writer.hyper_suffix}figure.png"
+        )
+    if save_all_maps:
+        write_eval_maps(writer, out, words)
+    else:
+        writer.write_step_maps(out, words)
+    always_save = [0, 1, 2]  # reference pipeline:881
+    if diagnostic_level > 0 or always_save:
+        writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)
+    if save_individual_ca_maps_flag:
+        save_individual_ca_maps(pipe, out, step=12, heads_dir=writer.step_dir / "heads")
+    if diagnostic_level > 0:
+        save_diagnostic_preds(pipe, out, writer, diagnostic_level)
+    return img, image_path, writer

@@ -134,10 +134,10 @@ def test_serving_over_dp_tp_mesh(pipe):
         assert out.images is not None and np.isfinite(out.images).all()
 
 
-def test_http_roundtrip(engine):
+def test_http_roundtrip(engine, tmp_path):
     import http.client
 
-    server = make_server(engine, host="127.0.0.1", port=0)
+    server = make_server(engine, host="127.0.0.1", port=0, artifact_dir=tmp_path)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
@@ -169,6 +169,26 @@ def test_http_roundtrip(engine):
         conn4.request("GET", "/stats")
         stats = json.loads(conn4.getresponse().read())
         assert stats["requests"] >= 1 and stats["batches"] >= 1
+        assert "latency_s" in stats
+
+        # per-request artifact tree (save_artifacts + --artifact_dir)
+        body2 = json.dumps(dict(meta_prompt=PROMPT, seed=12, save_artifacts=True,
+                                thresholds={"0": 0.1}, num_inference_steps=2,
+                                max_iter_to_alter=1))
+        conn5 = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn5.request("POST", "/generate", body=body2,
+                      headers={"Content-Type": "application/json"})
+        resp5 = conn5.getresponse()
+        assert resp5.status == 200
+        out5 = json.loads(resp5.read())
+        from pathlib import Path
+
+        img_path = Path(out5["artifacts_path"])
+        assert img_path.exists()
+        run_dir = img_path.parent
+        assert list(run_dir.glob("12*.txt")), "run log missing"
+        step_dir = run_dir / "12"
+        assert list(step_dir.glob("_attnmap_*")), "attention maps missing"
     finally:
         server.shutdown()
         server.server_close()
