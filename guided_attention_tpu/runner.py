@@ -227,6 +227,7 @@ class GuidedAttentionPipeline:
         self._fused_cache: Dict[Any, Any] = {}
         self._batch_cache: Dict[Any, Any] = {}
         self._prepare_cache: Dict[Any, Any] = {}
+        self._stack_cache: Dict[Any, Any] = {}  # stacked multi-prompt (spec, emb)
         self._registry_version = 0
         self._encode = jax.jit(
             lambda p, ids: self.sd.text_encoder.apply({"params": p}, ids)
@@ -548,8 +549,22 @@ class GuidedAttentionPipeline:
                 self._prepare(dataclasses.replace(opts, meta_prompt=mp)) for mp in meta_prompts
             ]
             hp, _, _, _, statics, sched, arrays, _ = prepared[0]
-            spec = self._stack_specs([p[3] for p in prepared])
-            emb = jnp.stack([p[7] for p in prepared])
+            # cache the stacked spec/emb per prompt-set: the ~10 eager
+            # jnp.stack dispatches cost a tunnel roundtrip each (~0.2-0.4 s)
+            # on remote TPUs — repeated prompt sets (server traffic, chunked
+            # sweeps) should pay them once
+            ck = opts.cache_key(self._registry_version)
+            stack_key = (tuple(meta_prompts), ck) if ck is not None else None
+            hit = self._stack_cache.get(stack_key) if stack_key is not None else None
+            if hit is not None:
+                spec, emb = hit
+            else:
+                spec = self._stack_specs([p[3] for p in prepared])
+                emb = jnp.stack([p[7] for p in prepared])
+                if stack_key is not None:
+                    if len(self._stack_cache) >= 16:  # bound device residency
+                        self._stack_cache.pop(next(iter(self._stack_cache)))
+                    self._stack_cache[stack_key] = (spec, emb)
             per_out = [(p[1], p[2], p[3]) for p in prepared]  # (prompt, anns, spec)
         else:
             hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(opts)

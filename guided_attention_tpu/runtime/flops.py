@@ -52,12 +52,15 @@ def _resnet(res: int, cin: int, cout: int, temb_dim: int) -> float:
     return f
 
 
-def unet_forward_flops(cfg: UNetConfig, batch: int = 1, ctx_len: int = 77) -> float:
+def unet_forward_flops(cfg: UNetConfig, batch: int = 1, ctx_len: int = 77,
+                       truncate_at_res: int | None = None) -> float:
     """Analytic FLOPs of ONE UNet forward at the config's sample_size.
 
     Mirrors UNet2DCondition.__call__'s channel/resolution bookkeeping
     (models/unet.py:269-398) including skip-concat channel growth in the up
-    path.
+    path. ``truncate_at_res`` stops after the last attention up-block at
+    that resolution (the guidance eval's dead-code-eliminated tail, see
+    unet_eval_flops).
     """
     chs = cfg.block_out_channels
     n_blocks = len(chs)
@@ -113,6 +116,8 @@ def unet_forward_flops(cfg: UNetConfig, batch: int = 1, ctx_len: int = 77) -> fl
                     res, cur, rev_heads[i], cur // rev_heads[i],
                     ctx_len, cfg.cross_attention_dim,
                 )
+        if rev_attn[i] and res == truncate_at_res:
+            return f * batch  # last captured layer reached; tail is DCE'd
         if i != n_blocks - 1:
             res *= 2
             f += _conv(res, res, out_ch, out_ch, 3)  # upsample conv
@@ -130,50 +135,7 @@ def unet_eval_flops(cfg: UNetConfig, capture_res: int = 16, batch: int = 1, ctx_
     higher-res up blocks + conv_out) from the compiled fwd+bwd
     (docs/PERF.md 'guidance evals are cheaper than a full forward').
     """
-    chs = cfg.block_out_channels
-    n_blocks = len(chs)
-    temb_dim = chs[0] * 4
-    res = cfg.sample_size
-    f = _dense(1, chs[0], temb_dim) + _dense(1, temb_dim, temb_dim)
-    f += _conv(res, res, cfg.in_channels, chs[0], 3)
-
-    skip_chs = [chs[0]]
-    cur = chs[0]
-    for i, out_ch in enumerate(chs):
-        for _ in range(cfg.layers_per_block):
-            f += _resnet(res, cur, out_ch, temb_dim)
-            cur = out_ch
-            if cfg.attn_down[i]:
-                f += _transformer2d(res, cur, cfg.num_heads[i], cur // cfg.num_heads[i], ctx_len, cfg.cross_attention_dim)
-            skip_chs.append(cur)
-        if i != n_blocks - 1:
-            f += _conv(res // 2, res // 2, out_ch, out_ch, 3)
-            res //= 2
-            skip_chs.append(out_ch)
-
-    mid = chs[-1]
-    f += _resnet(res, cur, mid, temb_dim)
-    f += _transformer2d(res, mid, cfg.num_heads[-1], mid // cfg.num_heads[-1], ctx_len, cfg.cross_attention_dim)
-    f += _resnet(res, mid, mid, temb_dim)
-    cur = mid
-
-    rev_ch = list(reversed(chs))
-    rev_attn = list(reversed(cfg.attn_down))
-    rev_heads = list(reversed(cfg.num_heads))
-    for i in range(n_blocks):
-        out_ch = rev_ch[i]
-        for _ in range(cfg.layers_per_block + 1):
-            skip = skip_chs.pop()
-            f += _resnet(res, cur + skip, out_ch, temb_dim)
-            cur = out_ch
-            if rev_attn[i]:
-                f += _transformer2d(res, cur, rev_heads[i], cur // rev_heads[i], ctx_len, cfg.cross_attention_dim)
-        if rev_attn[i] and res == capture_res:
-            return f * batch  # last captured layer reached; tail is DCE'd
-        if i != n_blocks - 1:
-            res *= 2
-            f += _conv(res, res, out_ch, out_ch, 3)
-    return f * batch
+    return unet_forward_flops(cfg, batch=batch, ctx_len=ctx_len, truncate_at_res=capture_res)
 
 
 def generation_flops(cfg: UNetConfig, diags, num_steps: int, cfg_batch: int = 2,

@@ -158,3 +158,43 @@ def test_multi_prompt_batch_misuse_errors(pipe):
             meta_prompts=["a [dog:.2,.3] x", "a [dog:.2,.3] and a [cat:.6,.6] x"],
             num_inference_steps=2,
         )
+
+
+def test_multi_prompt_batch_custom_losses(pipe):
+    """Identical custom-loss bindings across prompts batch fine (the bound
+    instances are per-spec deepcopies compared by CustomLossBase.__eq__ /
+    static_state, custom.py:51); differing bound args are rejected."""
+    mp1 = "a [cat:.1,.3,.3,.4] and a [dog:.6,.3,.3,.4] [CustomLoss:toLeftOf (cat,dog)]"
+    mp2 = "a [cat:.2,.4,.3,.4] and a [dog:.5,.2,.3,.4] [CustomLoss:toLeftOf (cat,dog)]"
+    outs = pipe.generate_batch(
+        [1, 2], meta_prompts=[mp1, mp2],
+        num_inference_steps=2, max_iter_to_alter=1, thresholds={0: 0.1},
+        capture_diagnostics=False, decode=False,
+    )
+    assert all(np.isfinite(o.latents).all() for o in outs)
+    # reversed operand order -> different bound token indices -> rejected
+    mp3 = "a [cat:.1,.3,.3,.4] and a [dog:.6,.3,.3,.4] [CustomLoss:toLeftOf (dog,cat)]"
+    with pytest.raises(ValueError, match="custom-loss bindings"):
+        pipe.generate_batch(
+            [1, 2], meta_prompts=[mp1, mp3],
+            num_inference_steps=2, max_iter_to_alter=1, thresholds={0: 0.1},
+            capture_diagnostics=False, decode=False,
+        )
+
+
+def test_multi_prompt_stack_cache(pipe):
+    """Repeated prompt sets reuse the stacked (spec, emb) device arrays —
+    the ~10 eager jnp.stack dispatches cost a tunnel roundtrip each on
+    remote TPUs, so a server or chunked sweep must pay them once."""
+    prompts = ["a [dog:.1,.1,.3,.3] x", "a [dog:.6,.6,.3,.3] x"]
+    kw = dict(num_inference_steps=2, thresholds={0: 0.5},
+              capture_diagnostics=False, decode=False)
+    pipe._stack_cache.clear()
+    first = pipe.generate_batch([5, 6], meta_prompts=prompts, **kw)
+    assert len(pipe._stack_cache) == 1
+    key = next(iter(pipe._stack_cache))
+    spec_obj = pipe._stack_cache[key][0]
+    second = pipe.generate_batch([5, 6], meta_prompts=prompts, **kw)
+    assert pipe._stack_cache[key][0] is spec_obj  # reused, not rebuilt
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(np.asarray(a.latents), np.asarray(b.latents))
