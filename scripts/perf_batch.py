@@ -42,19 +42,26 @@ def main():
     remat = "--remat" in args
     multi = "--multi" in args
     pipelined = "--pipelined" in args
+    model = "sd15"
+    if "--model" in args:
+        i = args.index("--model")
+        model = args[i + 1]
+        del args[i : i + 2]
     sizes = [int(a) for a in args if not a.startswith("--")] or [4, 8]
 
     from guided_attention_tpu.models.bundle import StableDiffusion
     from guided_attention_tpu.runner import GuidedAttentionPipeline
 
     t0 = time.time()
-    sd = StableDiffusion.create("sd15", dtype=jnp.bfloat16)
+    sd = StableDiffusion.create(model, dtype=jnp.bfloat16)
     pipe = GuidedAttentionPipeline(sd)
-    print(f"build {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"build {model} {time.time()-t0:.1f}s", file=sys.stderr)
 
     for B in sizes:
         try:
             kw = dict(capture_diagnostics=False, remat_guidance_eval=remat)
+            if model == "sd21":
+                kw["sd_2_1"] = True  # EOT-normalized spec (reference --sd_2_1)
             if multi:
                 kw["meta_prompts"] = [META, META2] * (B // 2) + [META] * (B % 2)
             else:
