@@ -152,6 +152,13 @@ class RunConfig:
     # Write a jax.profiler trace of the run to this directory (TensorBoard /
     # xprof format). The reference has no profiler (SURVEY.md par.5).
     profile_dir: Optional[str] = None
+    # Checkpoint generation state every N denoising steps so an interrupted
+    # run resumes exactly where it stopped (runtime/checkpoint.py; the
+    # reference regenerates from scratch, SURVEY.md §5). 0 == off.
+    # Applies to the single-stream path (batch_size 1).
+    checkpoint_every: int = 0
+    # Where generation state files live; default <output_path>/state
+    state_dir: Optional[str] = None
     # Multi-host launch (jax.distributed): set all three on every process.
     # Single-host runs leave them None (parallel/multihost.py no-ops).
     coordinator_address: Optional[str] = None

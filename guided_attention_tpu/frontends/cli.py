@@ -193,6 +193,26 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             pending = (hp, chunk, pb)
         if pending is not None:
             drain_batch(pending)
+    elif config.checkpoint_every > 0:
+        # resumable sweep: persist generation state every N steps so a
+        # preempted/crashed run re-invoked with the same flags continues
+        # exactly where it stopped (runtime/checkpoint.py). Serial by
+        # nature — checkpoint writes order the stream.
+        state_dir = str(config.state_dir or (config.output_path / "state"))
+        for seed in config.seeds:
+            for hp in get_hyperparam_states(base_hp, hyperparam_iterations):
+                for mp in state_prompts(config, hp):
+                    print(f"Seed: {seed} (resumable, every {config.checkpoint_every} steps)")
+                    out = pipe.generate_resumable(
+                        seed=seed,
+                        checkpoint_every=config.checkpoint_every,
+                        state_dir=state_dir,
+                        meta_prompt=mp,
+                        **run_kwargs(hp),
+                    )
+                    if out.resumed_from_step:
+                        print(f"  resumed from step {out.resumed_from_step}")
+                    work.append((seed, hp, mp, out))
     else:
         # depth-2 pipelined sweep: dispatch run i+1 BEFORE pulling run i's
         # results — JAX arrays are futures, so seed i's host tail (dispatch +

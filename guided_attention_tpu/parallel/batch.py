@@ -42,13 +42,20 @@ def build_batch_generate(
     per_prompt_emb: bool = False,
     per_prompt_spec: bool = False,
     tp_rules=DEFAULT_TP_RULES,
+    segment_len=None,
 ):
     """Returns ``generate(params, emb, latents0, spec, sched, arrays, keys)``
     over a leading batch axis on latents0/keys (and emb/spec when the
     per_prompt_* flags are set — specs must share their static structure,
     i.e. the same number of sub-prompt groups and custom losses).
+
+    ``segment_len=L`` makes it scan only the L steps [start, start+L) with a
+    trailing TRACED ``start`` argument (shared by the whole batch) — the
+    checkpoint/resume building block (runtime/checkpoint.py), single-process
+    only (runner.generate_batch_resumable gates this).
     """
-    raw = build_generate_raw(_vmap_safe_bundle(sd), statics, hp)
+    raw = build_generate_raw(_vmap_safe_bundle(sd), statics, hp, segment_len=segment_len)
+    seg_extra = () if segment_len is None else (None,)
     vmapped = jax.vmap(
         raw,
         in_axes=(
@@ -59,7 +66,8 @@ def build_batch_generate(
             None,  # sched
             None,  # arrays
             0,  # keys
-        ),
+        )
+        + seg_extra,  # start: one scalar for the whole batch
     )
 
     data = P("data")
@@ -75,7 +83,7 @@ def build_batch_generate(
             replicated,
             replicated,
             batched,
-        )
+        ) + ((replicated,) if segment_len is not None else ())
 
     def make(params):
         return jax.jit(
@@ -149,14 +157,18 @@ def build_batch_generate(
         keys = mh.host_local_array_to_global_array(np.asarray(keys)[sl], mesh, bat)
         return params, emb, latents0, spec, sched, arrays, keys
 
-    def generate(params, emb, latents0, spec, sched, arrays, keys):
+    def generate(params, emb, latents0, spec, sched, arrays, keys, *start):
         key = _params_key(params)
         if key not in cache:
             cache[key] = make(params)
         if jax.process_count() > 1:
+            if segment_len is not None:
+                raise NotImplementedError(
+                    "segmented batch generation is single-process only"
+                )
             params, emb, latents0, spec, sched, arrays, keys = _to_global(
                 params, emb, latents0, spec, sched, arrays, keys
             )
-        return cache[key](params, emb, latents0, spec, sched, arrays, keys)
+        return cache[key](params, emb, latents0, spec, sched, arrays, keys, *start)
 
     return generate

@@ -174,14 +174,29 @@ def build_generate_raw(
     statics: GenStatics,
     hp: HyperParams,
     from_where: Tuple[str, ...] = ("up", "down", "mid"),
+    segment_len: Optional[int] = None,
 ):
     """Returns the un-jitted ``generate(params, emb, latents0, spec, sched,
     arrays, key) -> (final_latents, StepDiag[S])`` for batch size 1 —
     vmap/shard it for batches (parallel/batch.py) or jit directly
-    (build_generate)."""
+    (build_generate).
+
+    ``segment_len=L`` instead returns ``generate(..., key, start)`` scanning
+    the L steps [start, start+L) — the building block for mid-run
+    checkpoint/resume (runtime/checkpoint.py). ``start`` is a TRACED
+    argument: one compiled program serves every segment of length L (cold
+    compiles ride a slow tunnel on remote-attached TPUs — a program per
+    (start, stop) pair would multiply that cost by S/L). Exactness:
+    everything per-step is indexed by the ABSOLUTE step i (timesteps,
+    StepArrays gathers, and every in-scan PRNG stream derives via
+    fold_in(key, i)), so chaining segments reproduces the full-range scan
+    bit-for-bit. latents0 must be the latent entering ``start``; the
+    returned diags stack L steps."""
     unet = sd.unet
     R = statics.attention_res
     S = statics.num_steps
+    if segment_len is not None and not 0 < segment_len <= S:
+        raise ValueError(f"segment_len {segment_len} outside [1, {S}]")
     R_sub = statics.max_refinement_steps + 2
     K = 77
     capture = frozenset({("cross", R)})
@@ -211,7 +226,7 @@ def build_generate_raw(
     def _zero_eval_lats():
         return jnp.zeros(_eval_lat_shape, jnp.float16)
 
-    def generate(params, emb, latents0, spec: GuidanceSpec, sched: DDIMSchedule, arrays: StepArrays, key):
+    def generate(params, emb, latents0, spec: GuidanceSpec, sched: DDIMSchedule, arrays: StepArrays, key, start=0):
         uncond, cond = emb[0:1], emb[1:2]
         pww = spec.pww_masks if spec.pww_masks else None
         C = latents0.shape[-1]
@@ -646,14 +661,18 @@ def build_generate_raw(
             )
             return (prev.astype(latents0.dtype), key), diag
 
-        (final_latents, _), diags = jax.lax.scan(
-            step, (latents0, key), jnp.arange(S, dtype=jnp.int32)
-        )
+        if segment_len is None:
+            xs = jnp.arange(S, dtype=jnp.int32)
+        else:
+            xs = jnp.asarray(start, jnp.int32) + jnp.arange(segment_len, dtype=jnp.int32)
+        (final_latents, _), diags = jax.lax.scan(step, (latents0, key), xs)
         return final_latents, diags
 
     return generate
 
 
-def build_generate(sd, statics, hp, from_where=("up", "down", "mid")):
+def build_generate(sd, statics, hp, from_where=("up", "down", "mid"), segment_len=None):
     """Jitted single-sample generate (latents donated)."""
-    return jax.jit(build_generate_raw(sd, statics, hp, from_where), donate_argnums=(2,))
+    return jax.jit(
+        build_generate_raw(sd, statics, hp, from_where, segment_len), donate_argnums=(2,)
+    )

@@ -58,6 +58,9 @@ class PipelineOutput:
     spec: GuidanceSpec
     prompt: str
     annotations: List[Annotation]
+    # generate_resumable only: the step a prior run's persisted state
+    # restarted this generation from (0 = ran from scratch)
+    resumed_from_step: int = 0
 
 
 @dataclasses.dataclass
@@ -463,6 +466,43 @@ class GuidedAttentionPipeline:
         ]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *norm)
 
+    def _prepare_batch(self, opts: PrepareOptions, seeds: List[int], meta_prompts):
+        """Shared batch prepare: single- or multi-prompt specs/embeddings,
+        stacked + cached (see dispatch_batch for the semantics)."""
+        per_prompt = meta_prompts is not None
+        if per_prompt:
+            if opts.meta_prompt is not None or opts.prompt is not None or opts.annotations is not None:
+                raise TypeError("pass either meta_prompts (one per seed) or a single meta_prompt/prompt")
+            if len(meta_prompts) != len(seeds):
+                raise ValueError(
+                    f"meta_prompts has {len(meta_prompts)} entries for {len(seeds)} seeds"
+                )
+            prepared = [
+                self._prepare(dataclasses.replace(opts, meta_prompt=mp)) for mp in meta_prompts
+            ]
+            hp, _, _, _, statics, sched, arrays, _ = prepared[0]
+            # cache the stacked spec/emb per prompt-set: the ~10 eager
+            # jnp.stack dispatches cost a tunnel roundtrip each (~0.2-0.4 s)
+            # on remote TPUs — repeated prompt sets (server traffic, chunked
+            # sweeps) should pay them once
+            ck = opts.cache_key(self._registry_version)
+            stack_key = (tuple(meta_prompts), ck) if ck is not None else None
+            hit = self._stack_cache.get(stack_key) if stack_key is not None else None
+            if hit is not None:
+                spec, emb = hit
+            else:
+                spec = self._stack_specs([p[3] for p in prepared])
+                emb = jnp.stack([p[7] for p in prepared])
+                if stack_key is not None:
+                    if len(self._stack_cache) >= 16:  # bound device residency
+                        self._stack_cache.pop(next(iter(self._stack_cache)))
+                    self._stack_cache[stack_key] = (spec, emb)
+            per_out = [(p[1], p[2], p[3]) for p in prepared]  # (prompt, anns, spec)
+        else:
+            hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(opts)
+            per_out = [(prompt, annotations, spec)] * len(seeds)
+        return per_prompt, hp, spec, statics, sched, arrays, emb, per_out
+
     def dispatch_batch(
         self,
         seeds: List[int],
@@ -536,45 +576,12 @@ class GuidedAttentionPipeline:
         # the signature mirrors PrepareOptions (plus per-call seeds/
         # meta_prompts/mesh/decode); from_locals fails loudly on drift
         opts = PrepareOptions.from_locals(locals())
-
-        per_prompt = meta_prompts is not None
-        if per_prompt:
-            if meta_prompt is not None or prompt is not None or annotations is not None:
-                raise TypeError("pass either meta_prompts (one per seed) or a single meta_prompt/prompt")
-            if len(meta_prompts) != len(seeds):
-                raise ValueError(
-                    f"meta_prompts has {len(meta_prompts)} entries for {len(seeds)} seeds"
-                )
-            prepared = [
-                self._prepare(dataclasses.replace(opts, meta_prompt=mp)) for mp in meta_prompts
-            ]
-            hp, _, _, _, statics, sched, arrays, _ = prepared[0]
-            # cache the stacked spec/emb per prompt-set: the ~10 eager
-            # jnp.stack dispatches cost a tunnel roundtrip each (~0.2-0.4 s)
-            # on remote TPUs — repeated prompt sets (server traffic, chunked
-            # sweeps) should pay them once
-            ck = opts.cache_key(self._registry_version)
-            stack_key = (tuple(meta_prompts), ck) if ck is not None else None
-            hit = self._stack_cache.get(stack_key) if stack_key is not None else None
-            if hit is not None:
-                spec, emb = hit
-            else:
-                spec = self._stack_specs([p[3] for p in prepared])
-                emb = jnp.stack([p[7] for p in prepared])
-                if stack_key is not None:
-                    if len(self._stack_cache) >= 16:  # bound device residency
-                        self._stack_cache.pop(next(iter(self._stack_cache)))
-                    self._stack_cache[stack_key] = (spec, emb)
-            per_out = [(p[1], p[2], p[3]) for p in prepared]  # (prompt, anns, spec)
-        else:
-            hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(opts)
-            per_out = [(prompt, annotations, spec)] * len(seeds)
+        per_prompt, hp, spec, statics, sched, arrays, emb, per_out = self._prepare_batch(
+            opts, seeds, meta_prompts
+        )
 
         if mesh is None:
-            # size the data axis to the largest device count dividing the batch
-            n_dev = len(jax.devices())
-            data = max(d for d in range(1, min(n_dev, len(seeds)) + 1) if len(seeds) % d == 0)
-            mesh = make_mesh({"data": data})
+            mesh = self._default_batch_mesh(len(seeds))
         # one compiled call instead of eager PRNGKey/split/normal per seed
         # (each eager op costs a tunnel roundtrip on remote-attached TPUs)
         latents0, run_keys = self._batch_init_jit(
@@ -623,10 +630,233 @@ class GuidedAttentionPipeline:
             _materialized=True, per_out=per_out, seeds=list(seeds),
         )
 
+    @staticmethod
+    def _default_batch_mesh(n: int):
+        """Size the data axis to the largest device count dividing the batch."""
+        from guided_attention_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        data = max(d for d in range(1, min(n_dev, n) + 1) if n % d == 0)
+        return make_mesh({"data": data})
+
     def generate_batch(self, seeds: List[int], **kwargs) -> List[PipelineOutput]:
         """Generate one image per seed as ONE sharded program over the mesh:
         ``dispatch_batch(...).result()`` (same keyword surface)."""
         return self.dispatch_batch(seeds, **kwargs).result()
+
+    def generate_batch_resumable(
+        self,
+        seeds: List[int],
+        checkpoint_every: int = 10,
+        state_dir: str = "outputs/state",
+        resume: bool = True,
+        decode: bool = True,
+        keep_state: bool = False,
+        on_segment=None,
+        meta_prompts: Optional[List[str]] = None,
+        mesh=None,
+        **kwargs,
+    ) -> List[PipelineOutput]:
+        """``generate_batch`` with mid-run checkpointing: the whole sharded
+        batch scans in segments of ``checkpoint_every`` steps, persisting
+        (step, batch latents, diagnostics) after each — a preempted sweep
+        re-invoked with the same seeds/prompts/config resumes exactly
+        (see ``generate_resumable``; single-process only — multi-host sweeps
+        resume per-host runs). kwargs feed PrepareOptions (use
+        ``meta_prompt=`` for a shared prompt, ``meta_prompts=`` per-seed)."""
+        from guided_attention_tpu.parallel.batch import build_batch_generate
+        from guided_attention_tpu.runtime import checkpoint as ckpt
+
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "resumable batch generation is single-process only"
+            )
+        opts = PrepareOptions(**kwargs)
+        per_prompt, hp, spec, statics, sched, arrays, emb, per_out = self._prepare_batch(
+            opts, seeds, meta_prompts
+        )
+        S = statics.num_steps
+        if mesh is None:
+            mesh = self._default_batch_mesh(len(seeds))
+        identity = ckpt.run_identity(
+            repr(opts),
+            f"seeds={[_mask_seed(s) for s in seeds]}",
+            f"prompts={meta_prompts}",
+            f"model={self.sd.config.name}",
+        )
+
+        lat_np = None
+        start = 0
+        prev_diags: List[Any] = []
+        if resume:
+            st = ckpt.latest_state(state_dir, identity)
+            if st is not None:
+                start, lat_np, prev = st
+                prev_diags = [prev]
+        resumed_from = start
+
+        hp_key = self._hp_key(hp)
+        latents0, run_keys = self._batch_init_jit(
+            jnp.asarray([_mask_seed(s) for s in seeds], jnp.uint32)
+        )
+        latents = latents0 if lat_np is None else jnp.asarray(lat_np)
+
+        if start < S:
+            segs = []
+            with mesh:
+                for a, b in ckpt.segment_bounds(start, S, checkpoint_every):
+                    cache_key = (
+                        statics, hp_key, tuple(mesh.shape.items()), per_prompt,
+                        ("segment", b - a),
+                    )
+                    if cache_key not in self._batch_cache:
+                        self._batch_cache[cache_key] = build_batch_generate(
+                            self.sd, statics, hp, mesh,
+                            per_prompt_emb=per_prompt, per_prompt_spec=per_prompt,
+                            segment_len=b - a,
+                        )
+                    gen = self._batch_cache[cache_key]
+                    latents, diags = gen(
+                        self.sd.params, emb, latents, spec, sched, arrays, run_keys,
+                        jnp.int32(a),
+                    )
+                    lat_np, diag_np = jax.device_get((latents, diags))
+                    segs.append(diag_np)
+                    ckpt.save_state(
+                        state_dir, identity, b, lat_np,
+                        ckpt.concat_diags(prev_diags + segs, axis=1),
+                    )
+                    if on_segment is not None:
+                        on_segment(b, S)
+            all_diags = ckpt.concat_diags(prev_diags + segs, axis=1)
+        else:
+            all_diags = prev_diags[0]
+
+        batch_images = None
+        if decode:
+            with mesh:
+                B = len(seeds)
+                flat = jnp.asarray(lat_np).reshape((B,) + lat_np.shape[2:])
+                img_u8 = jax.device_get(self.sd.decode_latents_u8(flat))
+            batch_images = np.asarray(img_u8).astype(np.float32) / 255.0
+        if not keep_state:
+            ckpt.clear_state(state_dir, identity)
+
+        outputs = []
+        for b, _seed in enumerate(seeds):
+            images = batch_images[b : b + 1].copy() if batch_images is not None else None
+            b_prompt, b_anns, b_spec = per_out[b]
+            outputs.append(
+                PipelineOutput(
+                    images=images,
+                    latents=lat_np[b],
+                    diagnostics=jax.tree_util.tree_map(lambda x, _b=b: x[_b], all_diags),
+                    spec=b_spec,
+                    prompt=b_prompt,
+                    annotations=b_anns,
+                    resumed_from_step=resumed_from,
+                )
+            )
+        return outputs
+
+    # ------------------------------------------------------------------
+    def _get_segment(self, statics: GenStatics, hp: HyperParams, length: int):
+        """Jitted generate over ``length`` steps from a TRACED start step —
+        one compiled program serves every segment of that length (a
+        checkpoint_every dividing num_steps therefore costs exactly one
+        extra compile; off-grid resume adds one for its shorter first
+        segment)."""
+        key = (statics, self._hp_key(hp), ("segment", length))
+        if key not in self._generate_cache:
+            self._generate_cache[key] = build_generate(
+                self.sd, statics, hp, segment_len=length
+            )
+        return self._generate_cache[key]
+
+    def generate_resumable(
+        self,
+        seed: int = 42,
+        checkpoint_every: int = 10,
+        state_dir: str = "outputs/state",
+        resume: bool = True,
+        decode: bool = True,
+        keep_state: bool = False,
+        on_segment=None,
+        **kwargs,
+    ) -> PipelineOutput:
+        """Generate with mid-run checkpointing: the scan runs in segments of
+        ``checkpoint_every`` steps, persisting (step, latents, diagnostics)
+        to ``state_dir`` after each (runtime/checkpoint.py). A re-run with
+        the same configuration+seed resumes from the newest persisted state
+        and — because every per-step quantity and PRNG stream is keyed by
+        the ABSOLUTE step index — reproduces the uninterrupted run exactly.
+        State files are removed on successful completion unless
+        ``keep_state``. ``on_segment(step_done, total_steps)`` is called
+        after each persisted segment (progress reporting / test hooks).
+
+        The reference has no resume story: a crash regenerates from scratch
+        (SURVEY.md §5). Accepts the ``dispatch`` keyword surface minus
+        latents (kwargs feed PrepareOptions directly).
+        """
+        from guided_attention_tpu.runtime import checkpoint as ckpt
+
+        opts = PrepareOptions(**kwargs)
+        hp, prompt, annotations, spec, statics, sched, arrays, emb = self._prepare(opts)
+        S = statics.num_steps
+        identity = ckpt.run_identity(
+            repr(opts), f"seed={_mask_seed(seed)}", f"model={self.sd.config.name}"
+        )
+
+        lat_np = None
+        start = 0
+        prev_diags: List[Any] = []
+        if resume:
+            st = ckpt.latest_state(state_dir, identity)
+            if st is not None:
+                start, lat_np, prev = st
+                prev_diags = [prev]
+        resumed_from = start
+
+        if start < S:
+            if lat_np is None:
+                latents, key_run = self._derive_jit(_seed_u32(seed))
+            else:
+                _, key_run = self._derive_jit(_seed_u32(seed))
+                latents = jnp.asarray(lat_np)
+            segs = []
+            for a, b in ckpt.segment_bounds(start, S, checkpoint_every):
+                gen = self._get_segment(statics, hp, b - a)
+                latents, diags = gen(
+                    self.sd.params, emb, latents, spec, sched, arrays, key_run,
+                    jnp.int32(a),
+                )
+                # one batched pull; the next segment donates the device latents
+                lat_np, diag_np = jax.device_get((latents, diags))
+                segs.append(diag_np)
+                ckpt.save_state(
+                    state_dir, identity, b, lat_np, ckpt.concat_diags(prev_diags + segs)
+                )
+                if on_segment is not None:
+                    on_segment(b, S)
+            all_diags = ckpt.concat_diags(prev_diags + segs)
+        else:  # persisted state already covers the full run
+            all_diags = prev_diags[0]
+
+        images = None
+        if decode:
+            img_u8 = jax.device_get(self.sd.decode_latents_u8(jnp.asarray(lat_np)))
+            images = np.asarray(img_u8).astype(np.float32) / 255.0
+        if not keep_state:
+            ckpt.clear_state(state_dir, identity)
+        return PipelineOutput(
+            images=images,
+            latents=lat_np,
+            diagnostics=all_diags,
+            spec=spec,
+            prompt=prompt,
+            annotations=annotations,
+            resumed_from_step=resumed_from,
+        )
 
 
 def pipeline_from_config(config: RunConfig, registry=None) -> GuidedAttentionPipeline:

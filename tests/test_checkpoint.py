@@ -1,0 +1,138 @@
+"""Mid-run checkpoint/resume (runtime/checkpoint.py): exact resume of an
+interrupted generation — the aux subsystem the reference lacks (SURVEY.md §5:
+a crashed reference run regenerates from scratch; determinism via seeded
+generators, reference run.py:106, is its only substitute)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from guided_attention_tpu.models.bundle import StableDiffusion
+from guided_attention_tpu.runner import GuidedAttentionPipeline
+from guided_attention_tpu.runtime import checkpoint as ckpt
+
+META = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
+KW = dict(meta_prompt=META, num_inference_steps=4, thresholds={0: 0.5})
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    sd = StableDiffusion.create("micro", dtype=jnp.float32)
+    return GuidedAttentionPipeline(sd)
+
+
+@pytest.fixture(scope="module")
+def baseline(pipe):
+    return pipe(seed=7, **KW)
+
+
+def test_segment_bounds():
+    assert ckpt.segment_bounds(0, 10, 4) == [(0, 4), (4, 8), (8, 10)]
+    # resume from an off-grid step realigns to the global grid so the
+    # original run's compiled segments are reused
+    assert ckpt.segment_bounds(3, 10, 4) == [(3, 4), (4, 8), (8, 10)]
+    assert ckpt.segment_bounds(0, 4, 10) == [(0, 4)]
+    with pytest.raises(ValueError):
+        ckpt.segment_bounds(0, 4, 0)
+
+
+def test_segmented_matches_uninterrupted(pipe, baseline, tmp_path):
+    out = pipe.generate_resumable(seed=7, checkpoint_every=2, state_dir=str(tmp_path), **KW)
+    assert out.resumed_from_step == 0
+    np.testing.assert_allclose(out.latents, baseline.latents, atol=1e-5)
+    np.testing.assert_allclose(
+        out.diagnostics.total_loss, baseline.diagnostics.total_loss, atol=1e-5
+    )
+    assert out.diagnostics.total_loss.shape[0] == 4
+    assert not list(tmp_path.glob("genstate_*"))  # cleared on success
+    # the segment start is a TRACED argument: ONE compiled program serves
+    # both length-2 segments (and any future resume point on the grid)
+    seg_keys = [k for k in pipe._generate_cache if k[-1] == ("segment", 2)]
+    assert len(seg_keys) == 1
+
+
+def test_crash_resume_exact(pipe, baseline, tmp_path):
+    calls = []
+
+    def boom(step_done, total):
+        calls.append(step_done)
+        if step_done == 2:
+            raise KeyboardInterrupt  # simulated preemption after segment 1
+
+    with pytest.raises(KeyboardInterrupt):
+        pipe.generate_resumable(
+            seed=7, checkpoint_every=2, state_dir=str(tmp_path), on_segment=boom, **KW
+        )
+    assert calls == [2]
+    assert list(tmp_path.glob("genstate_*"))  # state persisted before the crash
+
+    resumed_calls = []
+    out = pipe.generate_resumable(
+        seed=7,
+        checkpoint_every=2,
+        state_dir=str(tmp_path),
+        on_segment=lambda b, s: resumed_calls.append(b),
+        **KW,
+    )
+    assert out.resumed_from_step == 2
+    assert resumed_calls == [4]  # only the remaining segment ran
+    np.testing.assert_allclose(out.latents, baseline.latents, atol=1e-5)
+    # diagnostics cover the FULL run (restored prefix + resumed suffix)
+    assert out.diagnostics.total_loss.shape[0] == 4
+    np.testing.assert_allclose(
+        out.diagnostics.total_loss, baseline.diagnostics.total_loss, atol=1e-5
+    )
+    assert out.images.shape == (1, 128, 128, 3)
+
+
+def test_batch_resumable_matches_batch(pipe, tmp_path):
+    # the sharded batch engine checkpoints/resumes too (whole-batch state)
+    seeds = [3, 4]
+    base = pipe.generate_batch(seeds, **KW)
+    calls = []
+
+    def boom(step_done, total):
+        calls.append(step_done)
+        if step_done == 2:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        pipe.generate_batch_resumable(
+            seeds, checkpoint_every=2, state_dir=str(tmp_path), on_segment=boom, **KW
+        )
+    outs = pipe.generate_batch_resumable(
+        seeds, checkpoint_every=2, state_dir=str(tmp_path), **KW
+    )
+    assert outs[0].resumed_from_step == 2
+    for o, r in zip(outs, base):
+        np.testing.assert_allclose(o.latents, r.latents, atol=1e-5)
+        np.testing.assert_allclose(
+            o.diagnostics.total_loss, r.diagnostics.total_loss, atol=1e-5
+        )
+        assert o.images.shape == r.images.shape
+    assert not list(tmp_path.glob("genstate_*"))  # cleared on success
+
+
+def test_identity_guards_resume(pipe, tmp_path):
+    pipe.generate_resumable(
+        seed=7, checkpoint_every=2, state_dir=str(tmp_path), keep_state=True, decode=False, **KW
+    )
+    assert list(tmp_path.glob("genstate_*"))
+    # a different seed is a different run identity -> fresh start, and its
+    # cleanup must not touch the other run's state
+    out = pipe.generate_resumable(
+        seed=8, checkpoint_every=2, state_dir=str(tmp_path), decode=False, **KW
+    )
+    assert out.resumed_from_step == 0
+    assert list(tmp_path.glob("genstate_*"))
+    # same config+seed resumes from the completed state: no segments re-run
+    out2 = pipe.generate_resumable(
+        seed=7,
+        checkpoint_every=2,
+        state_dir=str(tmp_path),
+        decode=False,
+        keep_state=True,
+        on_segment=lambda b, s: pytest.fail("complete run must not re-run segments"),
+        **KW,
+    )
+    assert out2.resumed_from_step == 4
+    assert out2.diagnostics.total_loss.shape[0] == 4

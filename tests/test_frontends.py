@@ -257,6 +257,26 @@ def test_execute_batch_and_artifact_flags(artifacts, tmp_path):
     assert any(f.endswith("a _robot__6,_3,_4,_55_ and a _vase_0,_3,_4,_55_.png") for f in files)
 
 
+def test_execute_resumable_cli(artifacts, tmp_path):
+    """CLI --checkpoint_every path: the sweep runs through
+    generate_resumable, writes the same artifact tree, and cleans up its
+    state dir on success (runtime/checkpoint.py; the reference has no
+    resume story, SURVEY.md §5)."""
+    _, pipe, _, _ = artifacts
+    config = RunConfig(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seeds=[5],
+        n_inference_steps=4,
+        output_path=tmp_path,
+        checkpoint_every=2,
+    )
+    cli.execute(config, pipe)
+    files = [str(p) for p in tmp_path.rglob("*.png")]
+    assert any(f.endswith("a _robot__6,_3,_4,_55_ and a _vase_0,_3,_4,_55_.png") for f in files)
+    # completed runs clear their state files (default state dir under output)
+    assert not list((tmp_path / "state").glob("genstate_*"))
+
+
 def test_self_attn_clusters_viewer(artifacts, tmp_path):
     """Producer + offline KMeans clustering viewer (reference
     self_attn_clusters_view.py:7-37) end-to-end on a real saved matrix."""

@@ -111,6 +111,31 @@ def test_load_shedding(pipe):
     assert "latency_s" in snap and snap["latency_s"]["p95"] >= snap["latency_s"]["p50"] > 0
 
 
+def test_batch_failure_isolated(pipe, engine):
+    # an injected dispatch failure (device fault, OOM, ...) must fail the
+    # affected group's tickets and leave the batcher serving — failure
+    # detection the reference's one-request GUI backend has no analogue of
+    real = pipe.dispatch_batch
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected device failure")
+
+    pipe.dispatch_batch = boom
+    try:
+        t = engine.submit(PROMPT, seed=1, **KNOBS)
+        with pytest.raises(RuntimeError, match="injected"):
+            t.result(timeout=60)
+    finally:
+        pipe.dispatch_batch = real
+    assert engine.stats["errors"] == 1
+    assert calls["n"] == 1
+    # the engine survives: the next request completes normally
+    out = engine.submit(PROMPT, seed=2, **KNOBS).result(timeout=600)
+    assert out.images is not None and np.isfinite(out.images).all()
+
+
 def test_serving_over_dp_tp_mesh(pipe):
     # serving composes with sharding: batches dispatch over a 2x2 dp x tp
     # mesh (batch sharded over "data", UNet projections over "tensor")
