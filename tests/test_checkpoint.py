@@ -84,6 +84,29 @@ def test_crash_resume_exact(pipe, baseline, tmp_path):
     assert out.images.shape == (1, 128, 128, 3)
 
 
+def test_resume_exact_with_stochastic_eta(pipe, tmp_path):
+    # eta>0 adds DDIM variance noise each step; resume stays exact because
+    # the eta/renoise streams fold the ABSOLUTE step into a carried key that
+    # never advances (pipeline.py eta_key_for) — a relative-step or
+    # split-per-segment scheme would diverge here
+    kw = dict(KW, eta=1.0)
+    base = pipe(seed=11, **kw)
+
+    def boom(step_done, total):
+        if step_done == 2:
+            raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        pipe.generate_resumable(
+            seed=11, checkpoint_every=2, state_dir=str(tmp_path), on_segment=boom, **kw
+        )
+    out = pipe.generate_resumable(
+        seed=11, checkpoint_every=2, state_dir=str(tmp_path), **kw
+    )
+    assert out.resumed_from_step == 2
+    np.testing.assert_allclose(out.latents, base.latents, atol=1e-5)
+
+
 def test_batch_resumable_matches_batch(pipe, tmp_path):
     # the sharded batch engine checkpoints/resumes too (whole-batch state)
     seeds = [3, 4]
