@@ -171,6 +171,36 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
         # overlapping the host tail with device compute like the single path.
         chunks = plan_batch_chunks(config, get_hyperparam_states(base_hp, hyperparam_iterations))
 
+        if config.checkpoint_every > 0:
+            # resumable sharded batches: each chunk persists whole-batch
+            # state every N steps (runner.generate_batch_resumable). Serial
+            # by nature — checkpoint writes order the stream, so chunks do
+            # not pipeline here.
+            state_dir = str(config.state_dir or (config.output_path / "state"))
+            for hp, chunk in chunks:
+                chunk_seeds = [s for _, s in chunk]
+                chunk_prompts = [mp for mp, _ in chunk]
+                print(
+                    f"Seeds (sharded batch, resumable every "
+                    f"{config.checkpoint_every} steps): {chunk_seeds}"
+                )
+                prompt_kw = (
+                    dict(meta_prompt=chunk_prompts[0])
+                    if len(set(chunk_prompts)) == 1
+                    else dict(meta_prompts=chunk_prompts)
+                )
+                outs = pipe.generate_batch_resumable(
+                    chunk_seeds,
+                    checkpoint_every=config.checkpoint_every,
+                    state_dir=state_dir,
+                    **prompt_kw,
+                    **run_kwargs(hp),
+                )
+                if outs and outs[0].resumed_from_step:
+                    print(f"  resumed from step {outs[0].resumed_from_step}")
+                work.extend((s, hp, mp, o) for (mp, s), o in zip(chunk, outs))
+            chunks = []
+
         def drain_batch(item):
             hp, chunk, pb = item
             work.extend((s, hp, mp, o) for (mp, s), o in zip(chunk, pb.result()))

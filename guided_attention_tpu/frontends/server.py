@@ -44,6 +44,7 @@ from __future__ import annotations
 import base64
 import dataclasses
 import io
+import itertools
 import json
 import random
 import threading
@@ -239,8 +240,12 @@ class BatchingEngine:
             }
         return snap
 
-    def close(self, timeout: float = 60.0) -> None:
-        """Drain the queue, deliver everything in flight, stop the thread."""
+    def close(self, timeout: float = 600.0) -> None:
+        """Drain the queue, deliver everything in flight, stop the thread.
+
+        The default timeout accommodates a shutdown that overlaps a cold
+        batch compile (~210 s on the remote TPU, docs/PERF.md) — a legit
+        in-flight dispatch, not a hang."""
         with self._cv:
             self._stop = True
             self._cv.notify_all()
@@ -391,6 +396,12 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
 
     import jax
 
+    # per-request artifact namespace: concurrent requests may share
+    # (meta_prompt, seed) — client-chosen — and would otherwise write the
+    # identical tree from separate handler threads (next() on itertools.count
+    # is atomic under the GIL)
+    req_ids = itertools.count()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
@@ -473,7 +484,7 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                 _, image_path, _ = write_run_artifacts(
                     engine.pipe,
                     out,
-                    output_path=Path(artifact_dir),
+                    output_path=Path(artifact_dir) / f"req{next(req_ids):06d}",
                     seed=ticket.seed,
                     hp=hp,
                     meta_prompt=ticket.meta_prompt,

@@ -449,8 +449,10 @@ class GuidedAttentionPipeline:
             if s.n_groups != s0.n_groups or s.custom_group != s0.custom_group:
                 raise ValueError(
                     "multi-prompt batch requires every prompt to produce the same "
-                    f"number of sub-prompt groups (prompt 0: {s0.n_groups}, "
-                    f"prompt {k}: {s.n_groups})"
+                    "sub-prompt group structure (prompt 0: "
+                    f"{s0.n_groups} groups, custom-loss group {s0.custom_group}; "
+                    f"prompt {k}: {s.n_groups} groups, custom-loss group "
+                    f"{s.custom_group}; -1 = no custom loss)"
                 )
             if s.custom_losses != s0.custom_losses:
                 raise ValueError(
@@ -696,12 +698,14 @@ class GuidedAttentionPipeline:
         resumed_from = start
 
         hp_key = self._hp_key(hp)
-        latents0, run_keys = self._batch_init_jit(
-            jnp.asarray([_mask_seed(s) for s in seeds], jnp.uint32)
-        )
-        latents = latents0 if lat_np is None else jnp.asarray(lat_np)
 
         if start < S:
+            # init dispatch only when a segment will run (a fully-resumed run
+            # needs neither latents0 nor run_keys)
+            latents0, run_keys = self._batch_init_jit(
+                jnp.asarray([_mask_seed(s) for s in seeds], jnp.uint32)
+            )
+            latents = latents0 if lat_np is None else jnp.asarray(lat_np)
             segs = []
             with mesh:
                 for a, b in ckpt.segment_bounds(start, S, checkpoint_every):

@@ -277,6 +277,71 @@ def test_execute_resumable_cli(artifacts, tmp_path):
     assert not list((tmp_path / "state").glob("genstate_*"))
 
 
+def test_execute_batch_resumable_cli(artifacts, tmp_path):
+    """--batch_size > 1 combined with --checkpoint_every runs each sharded
+    chunk through generate_batch_resumable (whole-batch state persisted every
+    N steps) instead of silently dropping the checkpoint flag."""
+    _, pipe, _, _ = artifacts
+    config = RunConfig(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seeds=[5, 6],
+        n_inference_steps=4,
+        output_path=tmp_path,
+        batch_size=2,
+        checkpoint_every=2,
+    )
+    seen = []
+    orig = pipe.generate_batch_resumable
+
+    def spy(seeds, **kw):
+        seen.append((list(seeds), kw.get("checkpoint_every")))
+        return orig(seeds, **kw)
+
+    pipe.generate_batch_resumable = spy
+    try:
+        cli.execute(config, pipe)
+    finally:
+        pipe.generate_batch_resumable = orig
+    assert seen == [([5, 6], 2)], "batched sweep did not go through the resumable path"
+    files = [str(p) for p in tmp_path.rglob("*.png")]
+    assert any(f.endswith("a _robot__6,_3,_4,_55_ and a _vase_0,_3,_4,_55_.png") for f in files)
+    assert not list((tmp_path / "state").glob("genstate_*"))
+
+
+def test_execute_batch_resumable_multi_prompt_cli(artifacts, tmp_path):
+    """--meta_prompts + --batch_size + --checkpoint_every: a mixed-prompt
+    chunk goes through generate_batch_resumable's meta_prompts= path (one
+    sharded multi-prompt program, whole-batch state persisted)."""
+    _, pipe, _, _ = artifacts
+    p1 = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
+    p2 = "a [cat:.1,.3,.4,.55] and a [dog:.5,.3,.4,.55]"
+    config = RunConfig(
+        meta_prompts=[p1, p2],
+        seeds=[5],
+        n_inference_steps=4,
+        output_path=tmp_path,
+        batch_size=2,
+        checkpoint_every=2,
+    )
+    seen = []
+    orig = pipe.generate_batch_resumable
+
+    def spy(seeds, **kw):
+        seen.append((list(seeds), kw.get("meta_prompts"), kw.get("meta_prompt")))
+        return orig(seeds, **kw)
+
+    pipe.generate_batch_resumable = spy
+    try:
+        cli.execute(config, pipe)
+    finally:
+        pipe.generate_batch_resumable = orig
+    assert seen == [([5, 5], [p1, p2], None)], "mixed chunk must pass meta_prompts"
+    # each prompt's artifact tree exists
+    dirs = {p.name for p in tmp_path.iterdir() if p.is_dir()}
+    assert any("robot" in d for d in dirs) and any("cat" in d for d in dirs)
+    assert not list((tmp_path / "state").glob("genstate_*"))
+
+
 def test_self_attn_clusters_viewer(artifacts, tmp_path):
     """Producer + offline KMeans clustering viewer (reference
     self_attn_clusters_view.py:7-37) end-to-end on a real saved matrix."""

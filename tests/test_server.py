@@ -214,6 +214,18 @@ def test_http_roundtrip(engine, tmp_path):
         assert list(run_dir.glob("12*.txt")), "run log missing"
         step_dir = run_dir / "12"
         assert list(step_dir.glob("_attnmap_*")), "attention maps missing"
+
+        # a repeat of the SAME (prompt, seed) lands in its own per-request
+        # namespace — concurrent identical requests must not clobber each
+        # other's trees
+        conn6 = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn6.request("POST", "/generate", body=body2,
+                      headers={"Content-Type": "application/json"})
+        resp6 = conn6.getresponse()
+        assert resp6.status == 200
+        out6 = json.loads(resp6.read())
+        assert out6["artifacts_path"] != out5["artifacts_path"]
+        assert Path(out6["artifacts_path"]).exists()
     finally:
         server.shutdown()
         server.server_close()
