@@ -94,3 +94,88 @@ def test_leading_and_double_spaces():
     p, info, _ = parse_prompt("  a   [rat:.1,.2]   and ")
     assert p == "a rat and "
     assert len(info) == 1
+
+
+# ---- randomized grammar round-trip (property test) ----
+# Builds meta-prompts from known structure, parses them, and checks the
+# parse AND the downstream token binding (build_guidance_spec) recover the
+# exact ground truth. Complements the hand-picked edge cases above with
+# breadth over token arity / annotation mix / coordinate formats
+# (reference grammar: utils/helpers.py:59-114; binding: run.py:81-91).
+
+def _random_meta_prompt(rng):
+    vocab = ["cat", "dog", "robot", "vase", "park", "tiny", "red", "boat",
+             "lamp", "fox", "tree", "moon", "chair", "bird", "cup", "hat"]
+    rng.shuffle(vocab)
+    vocab = iter(vocab)
+    parts, expected_words, expected_anns = [], [], []
+    n_units = rng.randint(2, 6)
+    for _ in range(n_units):
+        kind = rng.choice(["word", "coor", "box", "box"])
+        token = next(vocab)
+        if kind != "word" and rng.random() < 0.4:
+            token = f"{token} {next(vocab)}"  # multi-word sub-prompt
+        if kind == "word":
+            parts.append(token)
+            expected_words.append(token)
+        elif kind == "coor":
+            x, y = round(rng.random(), 2), round(rng.random(), 2)
+            # mix ".5"-style and "0.5"-style fractions like the web UI
+            fmt = (lambda v: f"{v:.2f}".lstrip("0") or "0") if rng.random() < 0.5 else str
+            parts.append(f"[{token}:{fmt(x)},{fmt(y)}]")
+            expected_words.append(token)
+            expected_anns.append((token, AnnotationType.COOR, (x, y)))
+        else:
+            x, y = round(rng.random() * 0.5, 2), round(rng.random() * 0.5, 2)
+            w, h = round(0.1 + rng.random() * 0.4, 2), round(0.1 + rng.random() * 0.4, 2)
+            parts.append(f"[{token}:{x},{y},{w},{h}]")
+            expected_words.append(token)
+            expected_anns.append((token, AnnotationType.BOX, (x, y, w, h)))
+    return " ".join(parts), " ".join(expected_words), expected_anns
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_grammar_roundtrip_fuzz(seed):
+    import random
+
+    import numpy as np
+
+    from guided_attention_tpu.config import HyperParams
+    from guided_attention_tpu.guidance.spec import build_guidance_spec, find_token_span
+    from guided_attention_tpu.models.tokenizer import SimpleTokenizer
+
+    rng = random.Random(seed)
+    meta, want_prompt, want_anns = _random_meta_prompt(rng)
+    prompt, meta_info, custom = parse_prompt(meta)
+    assert prompt == want_prompt
+    assert custom == {}
+    assert len(meta_info) == len(want_anns)
+    for ann, (token, kind, geo) in zip(meta_info, want_anns):
+        assert ann.subprompt == token and ann.kind == kind
+        if kind == AnnotationType.COOR:
+            assert ann.target == pytest.approx(geo)
+        else:
+            r = ann.target
+            assert (r.x, r.y, r.width, r.height) == pytest.approx(geo)
+
+    tok = SimpleTokenizer()
+    spec = build_guidance_spec(tok, prompt, meta_info, HyperParams())
+    full_ids = tok.encode(prompt)
+    ann_type = np.asarray(spec.ann_type)
+    token_mask = np.asarray(spec.token_mask)
+    center = np.asarray(spec.center_xy)
+    bound = set()
+    for token, kind, geo in want_anns:
+        span = find_token_span(full_ids, tok.encode(token)[1:-1])
+        assert span is not None  # every sub-prompt must bind
+        for idx in span:
+            bound.add(idx)
+            assert token_mask[idx]
+            assert ann_type[idx] == int(kind)
+            if kind == AnnotationType.COOR:
+                assert center[idx] == pytest.approx(geo, abs=1e-6)
+            else:
+                x, y, w, h = geo
+                assert center[idx] == pytest.approx((x + w / 2, y + h / 2), abs=1e-6)
+    # no stray slots bound beyond the annotated spans
+    assert set(np.nonzero(token_mask)[0].tolist()) == bound
