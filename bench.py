@@ -126,13 +126,18 @@ def main():
                 bseeds, meta_prompt=META_PROMPT, num_inference_steps=steps,
                 capture_diagnostics=False,
             )
-            t0 = time.time()
-            outs = pipe.generate_batch(
-                [s + 50 for s in bseeds], meta_prompt=META_PROMPT,
-                num_inference_steps=steps, capture_diagnostics=False,
-            )
-            assert outs[0].images is not None
-            info["batch8_s_per_image"] = round((time.time() - t0) / len(bseeds), 3)
+            # min over reps: a single timed call can absorb a multi-second
+            # tunnel episode (observed 26.9 s/image once vs 1.44 steady)
+            bt = []
+            for rep in (50, 75):
+                t0 = time.time()
+                outs = pipe.generate_batch(
+                    [s + rep for s in bseeds], meta_prompt=META_PROMPT,
+                    num_inference_steps=steps, capture_diagnostics=False,
+                )
+                assert outs[0].images is not None
+                bt.append((time.time() - t0) / len(bseeds))
+            info["batch8_s_per_image"] = round(min(bt), 3)
             # sustained chunked throughput: depth-2 pipelined dispatch_batch
             # (the CLI batch-sweep path; same compiled programs as above)
             t0 = time.time()
