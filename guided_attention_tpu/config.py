@@ -154,8 +154,9 @@ class RunConfig:
     profile_dir: Optional[str] = None
     # Checkpoint generation state every N denoising steps so an interrupted
     # run resumes exactly where it stopped (runtime/checkpoint.py; the
-    # reference regenerates from scratch, SURVEY.md §5). 0 == off.
-    # Applies to the single-stream path (batch_size 1).
+    # reference regenerates from scratch, SURVEY.md §5). 0 == off. Covers
+    # both the single-stream path and sharded batch sweeps (whole-batch
+    # state); multi-process runs raise NotImplementedError.
     checkpoint_every: int = 0
     # Where generation state files live; default <output_path>/state
     state_dir: Optional[str] = None

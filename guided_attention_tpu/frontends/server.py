@@ -399,8 +399,20 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
     # per-request artifact namespace: concurrent requests may share
     # (meta_prompt, seed) — client-chosen — and would otherwise write the
     # identical tree from separate handler threads (next() on itertools.count
-    # is atomic under the GIL)
-    req_ids = itertools.count()
+    # is atomic under the GIL). The counter resumes past any trees already on
+    # disk so a restarted server never clobbers the previous run's artifacts.
+    start_id = 0
+    if artifact_dir is not None:
+        existing = [
+            int(p.name[3:]) for p in Path(artifact_dir).glob("req[0-9]*")
+            if p.name[3:].isdigit()
+        ]
+        start_id = max(existing, default=-1) + 1
+    req_ids = itertools.count(start_id)
+    # write_run_artifacts runs on concurrent handler threads but drives
+    # non-thread-safe state (pyplot's global figure manager, the pipeline's
+    # lazily-built diag-decode jit cache) — serialize it
+    artifact_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -446,8 +458,11 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                             "save_artifacts requires the server to run with --artifact_dir"
                         )
                     # artifact parity (maps, x0 preds, log) needs the
-                    # diagnostics captured in the scan outputs
-                    payload.setdefault("capture_diagnostics", True)
+                    # diagnostics captured in the scan outputs — force it,
+                    # overriding an explicit client false (the writer indexes
+                    # real per-token diags; the minimal placeholder would
+                    # crash it after a full generation)
+                    payload["capture_diagnostics"] = True
                 ticket = engine.submit(meta_prompt, seed=seed, **_coerce_knobs(payload))
             except (OverloadedError, RuntimeError) as e:
                 # RuntimeError: engine shut down mid-request — retryable
@@ -481,17 +496,23 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                 hp = HyperParams()
                 if ticket.knobs.get("thresholds") is not None:
                     hp = hp.replace(thresholds=ticket.knobs["thresholds"])
-                _, image_path, _ = write_run_artifacts(
-                    engine.pipe,
-                    out,
-                    output_path=Path(artifact_dir) / f"req{next(req_ids):06d}",
-                    seed=ticket.seed,
-                    hp=hp,
-                    meta_prompt=ticket.meta_prompt,
-                    annotate=annotate,
-                    diagnostic_level=int(ticket.knobs.get("diagnostic_level", 0)),
-                )
-                resp["artifacts_path"] = str(image_path)
+                try:
+                    with artifact_lock:
+                        _, image_path, _ = write_run_artifacts(
+                            engine.pipe,
+                            out,
+                            output_path=Path(artifact_dir) / f"req{next(req_ids):06d}",
+                            seed=ticket.seed,
+                            hp=hp,
+                            meta_prompt=ticket.meta_prompt,
+                            annotate=annotate,
+                            diagnostic_level=int(ticket.knobs.get("diagnostic_level", 0)),
+                        )
+                    resp["artifacts_path"] = str(image_path)
+                except Exception as e:  # noqa: BLE001 — the generation itself
+                    # succeeded; deliver the image rather than dropping the
+                    # connection over an artifact-IO failure
+                    resp["artifacts_error"] = f"{type(e).__name__}: {e}"
             self._send_json(200, resp)
 
     return ThreadingHTTPServer((host, port), Handler)

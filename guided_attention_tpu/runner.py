@@ -687,54 +687,34 @@ class GuidedAttentionPipeline:
             f"model={self.sd.config.name}",
         )
 
-        lat_np = None
-        start = 0
-        prev_diags: List[Any] = []
-        if resume:
-            st = ckpt.latest_state(state_dir, identity)
-            if st is not None:
-                start, lat_np, prev = st
-                prev_diags = [prev]
-        resumed_from = start
-
         hp_key = self._hp_key(hp)
 
-        if start < S:
-            # init dispatch only when a segment will run (a fully-resumed run
-            # needs neither latents0 nor run_keys)
+        def make_gen(length: int):
+            cache_key = (
+                statics, hp_key, tuple(mesh.shape.items()), per_prompt,
+                ("segment", length),
+            )
+            if cache_key not in self._batch_cache:
+                self._batch_cache[cache_key] = build_batch_generate(
+                    self.sd, statics, hp, mesh,
+                    per_prompt_emb=per_prompt, per_prompt_spec=per_prompt,
+                    segment_len=length,
+                )
+            return self._batch_cache[cache_key]
+
+        def init(lat_np):
             latents0, run_keys = self._batch_init_jit(
                 jnp.asarray([_mask_seed(s) for s in seeds], jnp.uint32)
             )
-            latents = latents0 if lat_np is None else jnp.asarray(lat_np)
-            segs = []
-            with mesh:
-                for a, b in ckpt.segment_bounds(start, S, checkpoint_every):
-                    cache_key = (
-                        statics, hp_key, tuple(mesh.shape.items()), per_prompt,
-                        ("segment", b - a),
-                    )
-                    if cache_key not in self._batch_cache:
-                        self._batch_cache[cache_key] = build_batch_generate(
-                            self.sd, statics, hp, mesh,
-                            per_prompt_emb=per_prompt, per_prompt_spec=per_prompt,
-                            segment_len=b - a,
-                        )
-                    gen = self._batch_cache[cache_key]
-                    latents, diags = gen(
-                        self.sd.params, emb, latents, spec, sched, arrays, run_keys,
-                        jnp.int32(a),
-                    )
-                    lat_np, diag_np = jax.device_get((latents, diags))
-                    segs.append(diag_np)
-                    ckpt.save_state(
-                        state_dir, identity, b, lat_np,
-                        ckpt.concat_diags(prev_diags + segs, axis=1),
-                    )
-                    if on_segment is not None:
-                        on_segment(b, S)
-            all_diags = ckpt.concat_diags(prev_diags + segs, axis=1)
-        else:
-            all_diags = prev_diags[0]
+            return (latents0 if lat_np is None else jnp.asarray(lat_np)), run_keys
+
+        lat_np, all_diags, resumed_from = self._run_segments(
+            identity=identity, state_dir=state_dir, resume=resume,
+            checkpoint_every=checkpoint_every, S=S, axis=1,
+            make_gen=make_gen, init=init,
+            gen_args=(emb, spec, sched, arrays), on_segment=on_segment,
+            mesh=mesh,
+        )
 
         batch_images = None
         if decode:
@@ -764,6 +744,63 @@ class GuidedAttentionPipeline:
         return outputs
 
     # ------------------------------------------------------------------
+    def _run_segments(
+        self,
+        *,
+        identity: str,
+        state_dir: str,
+        resume: bool,
+        checkpoint_every: int,
+        S: int,
+        axis: int,
+        make_gen,
+        init,
+        gen_args: tuple,
+        on_segment,
+        mesh=None,
+    ):
+        """Shared resume scaffold for ``generate_resumable`` and
+        ``generate_batch_resumable``: restore the newest persisted state,
+        scan the remaining steps in segments (``make_gen(length)`` supplies
+        the compiled program; ``init(lat_np)`` the starting latents + run
+        keys, called only when a segment will actually run), persisting each
+        segment's (latents, diags) — per-segment files keep total checkpoint
+        volume linear in run length. ``axis`` is the diagnostics step axis
+        (0 single-sample, 1 batched). Returns
+        (final latents np, full-run diags, resumed_from_step)."""
+        import contextlib
+
+        from guided_attention_tpu.runtime import checkpoint as ckpt
+
+        lat_np, start, all_diags = None, 0, None
+        if resume:
+            st = ckpt.latest_state(state_dir, identity, axis=axis)
+            if st is not None:
+                start, lat_np, all_diags = st
+        resumed_from = start
+        if start >= S:  # persisted state already covers the full run
+            return lat_np, all_diags, resumed_from
+
+        emb, spec, sched, arrays = gen_args
+        latents, keys = init(lat_np)
+        with mesh if mesh is not None else contextlib.nullcontext():
+            for a, b in ckpt.segment_bounds(start, S, checkpoint_every):
+                gen = make_gen(b - a)
+                latents, diags = gen(
+                    self.sd.params, emb, latents, spec, sched, arrays, keys,
+                    jnp.int32(a),
+                )
+                # one batched pull; the next segment donates the device latents
+                lat_np, diag_np = jax.device_get((latents, diags))
+                ckpt.save_state(state_dir, identity, b, lat_np, diag_np, seg_start=a)
+                all_diags = (
+                    diag_np if all_diags is None
+                    else ckpt.concat_diags([all_diags, diag_np], axis=axis)
+                )
+                if on_segment is not None:
+                    on_segment(b, S)
+        return lat_np, all_diags, resumed_from
+
     def _get_segment(self, statics: GenStatics, hp: HyperParams, length: int):
         """Jitted generate over ``length`` steps from a TRACED start step —
         one compiled program serves every segment of that length (a
@@ -811,40 +848,16 @@ class GuidedAttentionPipeline:
             repr(opts), f"seed={_mask_seed(seed)}", f"model={self.sd.config.name}"
         )
 
-        lat_np = None
-        start = 0
-        prev_diags: List[Any] = []
-        if resume:
-            st = ckpt.latest_state(state_dir, identity)
-            if st is not None:
-                start, lat_np, prev = st
-                prev_diags = [prev]
-        resumed_from = start
+        def init(lat_np):
+            latents0, key_run = self._derive_jit(_seed_u32(seed))
+            return (latents0 if lat_np is None else jnp.asarray(lat_np)), key_run
 
-        if start < S:
-            if lat_np is None:
-                latents, key_run = self._derive_jit(_seed_u32(seed))
-            else:
-                _, key_run = self._derive_jit(_seed_u32(seed))
-                latents = jnp.asarray(lat_np)
-            segs = []
-            for a, b in ckpt.segment_bounds(start, S, checkpoint_every):
-                gen = self._get_segment(statics, hp, b - a)
-                latents, diags = gen(
-                    self.sd.params, emb, latents, spec, sched, arrays, key_run,
-                    jnp.int32(a),
-                )
-                # one batched pull; the next segment donates the device latents
-                lat_np, diag_np = jax.device_get((latents, diags))
-                segs.append(diag_np)
-                ckpt.save_state(
-                    state_dir, identity, b, lat_np, ckpt.concat_diags(prev_diags + segs)
-                )
-                if on_segment is not None:
-                    on_segment(b, S)
-            all_diags = ckpt.concat_diags(prev_diags + segs)
-        else:  # persisted state already covers the full run
-            all_diags = prev_diags[0]
+        lat_np, all_diags, resumed_from = self._run_segments(
+            identity=identity, state_dir=state_dir, resume=resume,
+            checkpoint_every=checkpoint_every, S=S, axis=0,
+            make_gen=lambda L: self._get_segment(statics, hp, L), init=init,
+            gen_args=(emb, spec, sched, arrays), on_segment=on_segment,
+        )
 
         images = None
         if decode:

@@ -12,9 +12,10 @@ uninterrupted run bit-for-bit (tests/test_checkpoint.py pins this).
 
 State format: one msgpack file per segment boundary (atomic tmp+rename)
 holding the absolute step reached, the latents entering that step, the
-cumulative per-step diagnostics, and an identity hash of
-(options, seed, model) — resume refuses state written by a different run
-configuration and falls back to a fresh start.
+diagnostics for THAT SEGMENT ONLY (total checkpoint volume stays linear in
+run length; ``latest_state`` stitches the segment chain back together), and
+an identity hash of (options, seed, model) — resume refuses state written
+by a different run configuration and falls back to a fresh start.
 """
 from __future__ import annotations
 
@@ -46,15 +47,23 @@ def _path(state_dir: str, identity: str, step: int) -> Path:
 
 
 def save_state(
-    state_dir: str, identity: str, step: int, latents: np.ndarray, diags: Any
+    state_dir: str,
+    identity: str,
+    step: int,
+    latents: np.ndarray,
+    diags: Any,
+    seg_start: int = 0,
 ) -> Path:
-    """Persist progress through step ``step`` (exclusive). Atomic: a crash
-    mid-write never corrupts an existing state file."""
+    """Persist progress through step ``step`` (exclusive): the latents
+    entering ``step`` and the diagnostics for steps [``seg_start``,
+    ``step``) only. Atomic: a crash mid-write never corrupts an existing
+    state file."""
     d = Path(state_dir)
     d.mkdir(parents=True, exist_ok=True)
     payload = {
         "identity": identity,
         "step": step,
+        "seg_start": seg_start,
         "latents": np.asarray(latents),
         "diags": serialization.to_state_dict(diags),
     }
@@ -72,18 +81,40 @@ def _run_files(state_dir: str, identity: str) -> List[Path]:
     return sorted(d.glob(f"{_PREFIX}{identity}_*.msgpack"))
 
 
-def latest_state(state_dir: str, identity: str) -> Optional[Tuple[int, np.ndarray, Any]]:
-    """Newest resumable state for this run, or None. Unreadable/mismatched
-    files are skipped (a torn file cannot block resume from an older one)."""
-    for f in reversed(_run_files(state_dir, identity)):
+def latest_state(
+    state_dir: str, identity: str, axis: int = 0
+) -> Optional[Tuple[int, np.ndarray, Any]]:
+    """Newest resumable state for this run: walks the per-segment files in
+    step order, stitching the longest contiguous chain (each file's
+    ``seg_start`` must equal the previous file's ``step``; a file with
+    ``seg_start`` 0 begins a fresh chain, superseding older partial runs).
+    Returns (step reached, latents entering it, diagnostics for [0, step))
+    or None. Unreadable/mismatched files break the chain but never crash —
+    a torn tail file cannot block resume from an older boundary. ``axis``
+    is the diagnostics step axis (0 single-sample, 1 batched)."""
+    chain_step, chain_lat, chain_diags = 0, None, []
+    for f in _run_files(state_dir, identity):
         try:
             payload = serialization.msgpack_restore(f.read_bytes())
+            if payload.get("identity") != identity:
+                continue
+            # structural mismatch (e.g. a StepDiag schema from an older code
+            # version) must also skip, not crash — same fallback contract
+            seg_start = int(payload.get("seg_start", 0))
+            step = int(payload["step"])
+            diags = _restore_diags(payload["diags"])
+            lat = payload["latents"]
         except Exception:
             continue
-        if payload.get("identity") != identity:
-            continue
-        return int(payload["step"]), payload["latents"], _restore_diags(payload["diags"])
-    return None
+        if seg_start == 0:
+            chain_step, chain_lat, chain_diags = step, lat, [diags]
+        elif seg_start == chain_step:
+            chain_step, chain_lat = step, lat
+            chain_diags.append(diags)
+        # else: orphaned segment from a different grid — skip
+    if chain_lat is None:
+        return None
+    return chain_step, chain_lat, concat_diags(chain_diags, axis=axis)
 
 
 def clear_state(state_dir: str, identity: str) -> None:

@@ -135,6 +135,67 @@ def test_batch_resumable_matches_batch(pipe, tmp_path):
     assert not list(tmp_path.glob("genstate_*"))  # cleared on success
 
 
+def _diag(steps: int, val: float, batch=None):
+    """Minimal StepDiag pytree with a leading step axis (or [B, steps])."""
+    import dataclasses as dc
+
+    from guided_attention_tpu.pipeline import StepDiag
+
+    shape = (steps, 2) if batch is None else (batch, steps, 2)
+    return StepDiag(**{
+        f.name: np.full(shape, val, np.float32) for f in dc.fields(StepDiag)
+    })
+
+
+def test_latest_state_stitches_segment_chain(tmp_path):
+    # state files carry ONLY their segment's diags (linear checkpoint
+    # volume); latest_state glues the chain back together
+    lat = np.zeros((4, 4, 2), np.float32)
+    ckpt.save_state(tmp_path, "id", 2, lat, _diag(2, 0.0), seg_start=0)
+    ckpt.save_state(tmp_path, "id", 4, lat + 1, _diag(2, 1.0), seg_start=2)
+    step, lat_out, diags = ckpt.latest_state(tmp_path, "id")
+    assert step == 4
+    np.testing.assert_array_equal(lat_out, lat + 1)
+    assert diags.total_loss.shape == (4, 2)
+    np.testing.assert_array_equal(diags.total_loss[:, 0], [0, 0, 1, 1])
+
+    # batched diags stitch along axis 1
+    ckpt.save_state(tmp_path, "b", 2, lat, _diag(2, 0.0, batch=3), seg_start=0)
+    ckpt.save_state(tmp_path, "b", 4, lat, _diag(2, 1.0, batch=3), seg_start=2)
+    _, _, bdiags = ckpt.latest_state(tmp_path, "b", axis=1)
+    assert bdiags.total_loss.shape == (3, 4, 2)
+
+
+def test_latest_state_survives_torn_and_mismatched_files(tmp_path):
+    from flax import serialization
+
+    lat = np.zeros((4, 4, 2), np.float32)
+    ckpt.save_state(tmp_path, "id", 2, lat, _diag(2, 0.0), seg_start=0)
+    ckpt.save_state(tmp_path, "id", 4, lat + 1, _diag(2, 1.0), seg_start=2)
+    # torn tail file: unreadable bytes must not block resume from step 4
+    ckpt._path(tmp_path, "id", 6).write_bytes(b"torn")
+    # parseable but schema-mismatched diags (e.g. written by an older
+    # StepDiag) must be skipped, not crash resume
+    ckpt._path(tmp_path, "id", 8).write_bytes(
+        serialization.msgpack_serialize({
+            "identity": "id", "step": 8, "seg_start": 4,
+            "latents": lat, "diags": {"bogus": np.zeros(3)},
+        })
+    )
+    step, lat_out, diags = ckpt.latest_state(tmp_path, "id")
+    assert step == 4
+    assert diags.total_loss.shape == (4, 2)
+
+    # a fresh seg_start=0 file supersedes older partial chains
+    ckpt.save_state(tmp_path, "id", 3, lat + 2, _diag(3, 2.0), seg_start=0)
+    step, lat_out, diags = ckpt.latest_state(tmp_path, "id")
+    # files walk in step order: the step-3 restart is then EXTENDED by the
+    # on-grid step-4 file only if seg_start matches (it doesn't: 2 != 3)
+    assert step == 3
+    np.testing.assert_array_equal(lat_out, lat + 2)
+    np.testing.assert_array_equal(diags.total_loss[:, 0], [2, 2, 2])
+
+
 def test_identity_guards_resume(pipe, tmp_path):
     pipe.generate_resumable(
         seed=7, checkpoint_every=2, state_dir=str(tmp_path), keep_state=True, decode=False, **KW

@@ -226,6 +226,51 @@ def test_http_roundtrip(engine, tmp_path):
         out6 = json.loads(resp6.read())
         assert out6["artifacts_path"] != out5["artifacts_path"]
         assert Path(out6["artifacts_path"]).exists()
+
+        # an explicit capture_diagnostics: false is overridden — the artifact
+        # writer needs real per-token diags; honoring the false would crash
+        # AFTER the full generation
+        body3 = json.dumps(dict(meta_prompt=PROMPT, seed=13, save_artifacts=True,
+                                capture_diagnostics=False,
+                                thresholds={"0": 0.1}, num_inference_steps=2,
+                                max_iter_to_alter=1))
+        conn7 = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn7.request("POST", "/generate", body=body3,
+                      headers={"Content-Type": "application/json"})
+        resp7 = conn7.getresponse()
+        assert resp7.status == 200
+        out7 = json.loads(resp7.read())
+        assert "artifacts_error" not in out7
+        assert Path(out7["artifacts_path"]).exists()
     finally:
         server.shutdown()
         server.server_close()
+
+    # a RESTARTED server on the same --artifact_dir resumes the request-id
+    # namespace past the trees already on disk instead of clobbering them
+    existing = {p.name for p in tmp_path.glob("req*")}
+    assert existing  # the first server wrote some
+    server2 = make_server(engine, host="127.0.0.1", port=0, artifact_dir=tmp_path)
+    port2 = server2.server_address[1]
+    threading.Thread(target=server2.serve_forever, daemon=True).start()
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port2, timeout=600)
+        conn.request("POST", "/generate", body=json.dumps(
+            dict(meta_prompt=PROMPT, seed=12, save_artifacts=True,
+                 thresholds={"0": 0.1}, num_inference_steps=2,
+                 max_iter_to_alter=1)),
+            headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        from pathlib import Path
+
+        req_dir = Path(out["artifacts_path"])
+        while req_dir.parent != tmp_path:
+            req_dir = req_dir.parent
+        assert req_dir.name not in existing
+    finally:
+        server2.shutdown()
+        server2.server_close()
