@@ -129,7 +129,16 @@ def parse_prompt(
         if meta_index == -1:
             return _add_word(prompt, rest), meta_info, custom_losses
         if space_index == -1 or meta_index < space_index:
-            end_meta_index = find_matching_bracket(rest[meta_index:]) + meta_index
+            match = find_matching_bracket(rest[meta_index:])
+            if match == -1:
+                # Deviation from reference helpers.py:41-56/59-: an unbalanced
+                # '[' there yields end index -1, the slice rest[0:] never
+                # shrinks, and the parse loops FOREVER (hanging the caller —
+                # for a server, behind the pipeline lock). Reject instead.
+                raise ValueError(
+                    f"unbalanced '[' in meta-prompt: {rest[meta_index:][:40]!r}"
+                )
+            end_meta_index = match + meta_index
             colon_index = rest.index(":")
             token = rest[meta_index + 1 : colon_index].strip(" ")
             coors = rest[colon_index + 1 : end_meta_index].strip(" ")

@@ -162,6 +162,13 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     # Gather (seed, hyperparam-state, output) work items. With batch_size > 1
     # the per-state seed batch runs as ONE sharded program over the device
     # mesh (the reference loops seeds serially, run.py:97-98).
+    # --mesh_shape (e.g. '{"data": 2, "tensor": 2}') selects the mesh
+    # explicitly; default is pure data parallelism sized to the batch.
+    mesh = None
+    if config.mesh_shape:
+        from guided_attention_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config.mesh_shape)
     work = []
     if config.batch_size > 1:
         # (prompt x seed) grid per sweep state, chunked into sharded batches;
@@ -193,6 +200,7 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
                     chunk_seeds,
                     checkpoint_every=config.checkpoint_every,
                     state_dir=state_dir,
+                    mesh=mesh,
                     **prompt_kw,
                     **run_kwargs(hp),
                 )
@@ -212,11 +220,13 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             print(f"Seeds (sharded batch): {chunk_seeds}")
             if len(set(chunk_prompts)) == 1:
                 pb = pipe.dispatch_batch(
-                    chunk_seeds, meta_prompt=chunk_prompts[0], **run_kwargs(hp)
+                    chunk_seeds, meta_prompt=chunk_prompts[0], mesh=mesh,
+                    **run_kwargs(hp)
                 )
             else:
                 pb = pipe.dispatch_batch(
-                    chunk_seeds, meta_prompts=chunk_prompts, **run_kwargs(hp)
+                    chunk_seeds, meta_prompts=chunk_prompts, mesh=mesh,
+                    **run_kwargs(hp)
                 )
             if pending is not None:
                 drain_batch(pending)

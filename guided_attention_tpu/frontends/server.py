@@ -194,7 +194,11 @@ class BatchingEngine:
                     prepared = self.pipe._prepare(opts)
                 except RequestError:
                     raise
-                except Exception as e:  # parse/spec/tokenize errors -> 400
+                except (ValueError, TypeError, KeyError) as e:
+                    # parse/spec/tokenize/knob errors: the REQUEST is bad -> 400.
+                    # Anything else (device/tunnel RuntimeError, OOM during the
+                    # CLIP forward) propagates as a server-side fault — clients
+                    # and load balancers must see 5xx, not a non-retryable 400.
                     raise RequestError(f"invalid request: {e}") from e
             spec = prepared[3]
             # batchable iff every non-prompt knob matches AND the spec's
@@ -249,6 +253,8 @@ class BatchingEngine:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
+        if self._thread.ident is None:  # never started (_start_thread=False):
+            return  # nothing to drain, and join() would raise
         self._thread.join(timeout)
         if self._thread.is_alive():  # loud: a silent zombie batcher would
             # race the next engine over the shared pipeline's program caches
@@ -463,13 +469,24 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                     # real per-token diags; the minimal placeholder would
                     # crash it after a full generation)
                     payload["capture_diagnostics"] = True
+                    if int(payload.get("diagnostic_level", 0)) > 0:
+                        # per-SUBiteration pred_pre_optim snapshots (reference
+                        # pipeline:517-535) need the per-slot latent capture —
+                        # mirror the CLI's wiring (cli.run_kwargs) so the
+                        # served artifact tree matches the CLI tree
+                        payload["capture_eval_latents"] = True
                 ticket = engine.submit(meta_prompt, seed=seed, **_coerce_knobs(payload))
             except (OverloadedError, RuntimeError) as e:
-                # RuntimeError: engine shut down mid-request — retryable
+                # RuntimeError: engine shut down mid-request, or a device/
+                # tunnel fault during the submit-time prepare — retryable
                 self._send_json(503, {"error": str(e)})
                 return
             except (RequestError, TypeError, ValueError, json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — any other server-side
+                # fault: a 5xx, never a connection drop or a client-error code
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
                 out = ticket.result(timeout=request_timeout_s)
@@ -533,6 +550,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--artifact_dir", default=None,
                    help="enable per-request artifact trees (request field save_artifacts)")
     p.add_argument("--buckets", default="1,2,4,8", help="allowed batch sizes, comma-separated")
+    p.add_argument("--mesh_shape", type=json.loads, default=None,
+                   help='device mesh, e.g. \'{"data": 2, "tensor": 2}\'; '
+                        "default: data parallelism sized per batch. Every "
+                        "bucket must divide by the data axis.")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile the default-knob program at every bucket size before serving")
     args = p.parse_args(argv)
@@ -545,8 +566,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     sd = StableDiffusion.create(args.model, dtype=dtype, checkpoint_dir=args.model_path)
     pipe = GuidedAttentionPipeline(sd)
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    mesh = None
+    if args.mesh_shape:
+        from guided_attention_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_shape)
     engine = BatchingEngine(pipe, max_wait_ms=args.max_wait_ms, buckets=buckets,
-                            max_queue=args.max_queue)
+                            mesh=mesh, max_queue=args.max_queue)
 
     if args.warmup:
         # compile BOTH program variants per bucket: shared-prompt and

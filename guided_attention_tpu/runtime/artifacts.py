@@ -525,9 +525,8 @@ def write_run_artifacts(
         write_eval_maps(writer, out, words)
     else:
         writer.write_step_maps(out, words)
-    always_save = [0, 1, 2]  # reference pipeline:881
-    if diagnostic_level > 0 or always_save:
-        writer.write_x0_preds(out, pipe.sd.decode_latents, always_save)
+    # x0 preds at iters [0, 1, 2] are unconditional (reference pipeline:881)
+    writer.write_x0_preds(out, pipe.sd.decode_latents, [0, 1, 2])
     if save_individual_ca_maps_flag:
         save_individual_ca_maps(pipe, out, step=12, heads_dir=writer.step_dir / "heads")
     if diagnostic_level > 0:

@@ -78,7 +78,14 @@ def _run_files(state_dir: str, identity: str) -> List[Path]:
     d = Path(state_dir)
     if not d.is_dir():
         return []
-    return sorted(d.glob(f"{_PREFIX}{identity}_*.msgpack"))
+
+    def step_of(p: Path) -> int:
+        # numeric, not lexicographic: the zero-pad is cosmetic and runs past
+        # 9999 steps must still walk the chain in step order
+        suffix = p.stem.rsplit("_", 1)[-1]
+        return int(suffix) if suffix.isdigit() else -1
+
+    return sorted(d.glob(f"{_PREFIX}{identity}_*.msgpack"), key=step_of)
 
 
 def latest_state(

@@ -43,6 +43,17 @@ def test_malformed_annotation_is_skipped():
     assert info == []
 
 
+def test_unbalanced_bracket_raises():
+    # documented deviation: the reference's parse loop never shrinks `rest`
+    # on an unbalanced '[' and hangs forever (helpers.py:41-56 returns -1,
+    # the slice rest[0:] is a no-op); we raise so a malformed request is a
+    # fast error (HTTP 400 in the server) instead of a wedged process
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_prompt("a [unclosed:0.1")
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_prompt("a [nested [deeper:.1,.2] x")
+
+
 def test_custom_loss_annotation_elides_word_and_adds_keywords():
     reg = default_registry()
     p, info, cl = parse_prompt(

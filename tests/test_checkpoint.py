@@ -166,6 +166,18 @@ def test_latest_state_stitches_segment_chain(tmp_path):
     assert bdiags.total_loss.shape == (3, 4, 2)
 
 
+def test_latest_state_orders_steps_numerically(tmp_path):
+    # chain stitching walks files in NUMERIC step order: "10002" sorts
+    # lexicographically before "9998" but must extend the chain after it
+    lat = np.zeros((4, 4, 2), np.float32)
+    ckpt.save_state(tmp_path, "id", 9998, lat, _diag(2, 0.0), seg_start=0)
+    ckpt.save_state(tmp_path, "id", 10002, lat + 1, _diag(2, 1.0), seg_start=9998)
+    step, lat_out, diags = ckpt.latest_state(tmp_path, "id")
+    assert step == 10002
+    np.testing.assert_array_equal(lat_out, lat + 1)
+    assert diags.total_loss.shape == (4, 2)
+
+
 def test_latest_state_survives_torn_and_mismatched_files(tmp_path):
     from flax import serialization
 

@@ -257,6 +257,32 @@ def test_execute_batch_and_artifact_flags(artifacts, tmp_path):
     assert any(f.endswith("a _robot__6,_3,_4,_55_ and a _vase_0,_3,_4,_55_.png") for f in files)
 
 
+def test_cli_mesh_shape_is_wired(artifacts, tmp_path, monkeypatch):
+    """--mesh_shape must reach dispatch_batch — it was once parsed but
+    consumed nowhere, silently degrading an explicit {"data":2,"tensor":2}
+    request to the default data-only mesh."""
+    _, pipe, _, _ = artifacts
+    config = RunConfig(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seeds=[1, 2],
+        n_inference_steps=2,
+        output_path=tmp_path,
+        batch_size=2,
+        mesh_shape={"data": 2},
+    )
+    seen = []
+    orig = pipe.dispatch_batch
+
+    def spy(seeds, **kw):
+        seen.append(kw.get("mesh"))
+        return orig(seeds, **kw)
+
+    monkeypatch.setattr(pipe, "dispatch_batch", spy)
+    cli.execute(config, pipe)
+    assert seen and seen[0] is not None, "--mesh_shape never reached dispatch_batch"
+    assert dict(seen[0].shape) == {"data": 2}
+
+
 def test_execute_resumable_cli(artifacts, tmp_path):
     """CLI --checkpoint_every path: the sweep runs through
     generate_resumable, writes the same artifact tree, and cleans up its

@@ -159,6 +159,92 @@ def test_serving_over_dp_tp_mesh(pipe):
         assert out.images is not None and np.isfinite(out.images).all()
 
 
+def test_close_unstarted_engine(pipe):
+    # _start_thread=False (deterministic queue fill) + close() must shut
+    # down cleanly instead of raising from Thread.join on an unstarted thread
+    BatchingEngine(pipe, _start_thread=False).close()
+
+
+def test_submit_classifies_server_faults(pipe, engine, monkeypatch):
+    # a device/tunnel fault during the submit-time prepare is a SERVER-side
+    # failure: it must propagate (handler -> 5xx), not be wrapped into the
+    # non-retryable RequestError (400)
+    def tunnel_down(opts):
+        raise RuntimeError("tunnel dropped")
+
+    monkeypatch.setattr(engine.pipe, "_prepare", tunnel_down)
+    with pytest.raises(RuntimeError, match="tunnel dropped"):
+        engine.submit(PROMPT, seed=1, **KNOBS)
+
+    # validation faults stay client errors
+    def bad_request(opts):
+        raise ValueError("no such word")
+
+    monkeypatch.setattr(engine.pipe, "_prepare", bad_request)
+    with pytest.raises(RequestError, match="no such word"):
+        engine.submit(PROMPT, seed=1, **KNOBS)
+
+    # either way the admission slot is released (no _in_prepare leak)
+    assert engine.snapshot()["preparing"] == 0
+
+
+def test_http_error_classification_and_capture_forcing(pipe, tmp_path, monkeypatch):
+    """HTTP layer behaviors that need no generation: (1) save_artifacts
+    forces capture_diagnostics AND (at diagnostic_level>0)
+    capture_eval_latents so the served artifact tree matches the CLI tree;
+    (2) an unexpected submit fault maps to 500, never a dropped connection."""
+    import http.client
+
+    eng = BatchingEngine(pipe, _start_thread=False)
+    captured = {}
+
+    class FakeTicket:
+        seed = 1
+        meta_prompt = PROMPT
+        knobs = {}
+
+        def result(self, timeout=None):
+            raise TimeoutError("no batcher in this test")
+
+    def fake_submit(meta_prompt, seed=None, **knobs):
+        captured.clear()
+        captured.update(knobs)
+        return FakeTicket()
+
+    monkeypatch.setattr(eng, "submit", fake_submit)
+    server = make_server(eng, host="127.0.0.1", port=0, artifact_dir=tmp_path)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/generate", body=json.dumps(dict(
+            meta_prompt=PROMPT, seed=1, save_artifacts=True,
+            capture_diagnostics=False, diagnostic_level=1)),
+            headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 504  # FakeTicket's timeout
+        assert captured["capture_diagnostics"] is True
+        assert captured["capture_eval_latents"] is True
+
+        class Weird(Exception):
+            pass
+
+        def exploding_submit(meta_prompt, seed=None, **knobs):
+            raise Weird("boom")
+
+        monkeypatch.setattr(eng, "submit", exploding_submit)
+        conn2 = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn2.request("POST", "/generate",
+                      body=json.dumps(dict(meta_prompt=PROMPT, seed=1)),
+                      headers={"Content-Type": "application/json"})
+        resp = conn2.getresponse()
+        assert resp.status == 500
+        assert "Weird" in json.loads(resp.read())["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        eng.close()
+
+
 def test_http_roundtrip(engine, tmp_path):
     import http.client
 
