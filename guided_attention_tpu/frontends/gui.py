@@ -60,15 +60,27 @@ def run_server(config, pipe, host: str = "127.0.0.1", port: int = 5000, once: bo
             if self.path != "/execute_function":
                 self._send(404, b"not found", "text/plain")
                 return
-            length = int(self.headers.get("Content-Length", "0"))
-            payload = json.loads(self.rfile.read(length) or b"{}")
-            meta_prompt = payload.get("variable1", "")
-            with lock:
-                config.meta_prompt = meta_prompt
-                config.seeds = [int(random.randrange(4294967294))]  # gui.py:29
-                config.interactive = True
-                image_path = cli_mod.execute(config, pipe)
-                shutil.copyfile(str(image_path), static_dir / "output.png")
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                meta_prompt = payload.get("variable1", "")
+                with lock:
+                    config.meta_prompt = meta_prompt
+                    config.seeds = [int(random.randrange(4294967294))]  # gui.py:29
+                    config.interactive = True
+                    image_path = cli_mod.execute(config, pipe)
+                    shutil.copyfile(str(image_path), static_dir / "output.png")
+            except (ValueError, KeyError, TypeError) as e:
+                # bad JSON / malformed meta-prompt (e.g. unbalanced bracket):
+                # a JSON error the UI can show, never a dropped connection
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+                return
+            except Exception as e:  # noqa: BLE001 — server-side failure
+                self._send(500,
+                           json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(),
+                           "application/json")
+                return
             body = json.dumps({"result": str(image_path)}).encode()
             self._send(200, body, "application/json")
 

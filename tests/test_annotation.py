@@ -107,6 +107,41 @@ def test_leading_and_double_spaces():
     assert len(info) == 1
 
 
+# ---- adversarial-input termination fuzz ----
+# The round-trip fuzz below covers WELL-FORMED prompts; this covers garbage.
+# Property: parse_prompt either returns or raises (ValueError/KeyError)
+# QUICKLY on ANY byte soup — never hangs (the reference's loop spins forever
+# on an unbalanced '[', helpers.py:41-56 + the non-shrinking rest slice) and
+# never dies with an unexpected exception type.
+
+def test_parse_prompt_terminates_on_garbage():
+    import random
+    import threading
+
+    rng = random.Random(1234)
+    alphabet = list("ab []:,.01") + ["[x:", ":.1,.2]", "CustomLoss", "]"]
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        for _ in range(400)
+    ] + ["[", "]", "[:", "[]", "[:]", "a [b:", "a ]b[ c", "[[[:", "[a:1,2"]
+    for s in cases:
+        box = {}
+
+        def run(s=s):
+            try:
+                box["out"] = parse_prompt(s)
+            except (ValueError, KeyError) as e:  # malformed: fine
+                box["err"] = e
+            except BaseException as e:  # noqa: BLE001
+                box["bad"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(10)
+        assert not t.is_alive(), f"parse_prompt hung on {s!r}"
+        assert "bad" not in box, f"unexpected {type(box['bad']).__name__} on {s!r}: {box['bad']}"
+
+
 # ---- randomized grammar round-trip (property test) ----
 # Builds meta-prompts from known structure, parses them, and checks the
 # parse AND the downstream token binding (build_guidance_spec) recover the

@@ -181,6 +181,17 @@ def test_gui_server_roundtrip(artifacts):
             "POST", "/execute_function", body=payload, headers={"Content-Type": "application/json"}
         )
         results["post"] = json.loads(conn2.getresponse().read())
+        # malformed meta-prompt (unbalanced bracket) -> JSON 400, the
+        # connection is NOT dropped and the server keeps serving
+        conn3 = http.client.HTTPConnection("127.0.0.1", 5199, timeout=600)
+        conn3.request(
+            "POST", "/execute_function",
+            body=json.dumps({"variable1": "a [unclosed:0.1"}),
+            headers={"Content-Type": "application/json"},
+        )
+        r3 = conn3.getresponse()
+        results["bad_status"] = r3.status
+        results["bad"] = json.loads(r3.read())
 
     t = threading.Thread(target=client)
     t.start()
@@ -197,11 +208,20 @@ def test_gui_server_roundtrip(artifacts):
     # run_server(once=True) handles a single request; spin two manually
     srv_thread = threading.Thread(target=serve, daemon=True)
     srv_thread.start()
-    t.join(timeout=900)
+    saved = (config.meta_prompt, list(config.seeds), config.interactive)
+    try:
+        t.join(timeout=900)
+    finally:
+        # the GUI handler mutates the shared module-scoped config (reference
+        # parity: run.py:75-79 mutates globals per request) — restore it so
+        # later tests copying this config don't inherit the malformed prompt
+        config.meta_prompt, config.seeds, config.interactive = saved
     assert b"Guided Attention" in results["index"]
     assert "result" in results["post"]
     assert Path(results["post"]["result"]).exists()
     assert (config.output_path / "static" / "output.png").exists()
+    assert results["bad_status"] == 400
+    assert "unbalanced" in results["bad"]["error"]
 
 
 def test_main_profile_dir_and_model_preset(tmp_path):
