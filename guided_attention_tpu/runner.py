@@ -306,6 +306,36 @@ class GuidedAttentionPipeline:
         return prepared
 
     def _prepare_uncached(self, o: PrepareOptions):
+        # Reject degenerate knobs with actionable ValueErrors (HTTP 400 in
+        # the serving frontends) instead of their obscure downstream
+        # failures: steps=0 hit a ZeroDivisionError deep in the schedule (a
+        # 500-class fault), sigma=0 built a silent all-NaN smoothing kernel
+        # that poisoned the whole run (finite=False outputs), and an
+        # off-grid attention_res died with "need at least one array to
+        # concatenate" at trace time.
+        if o.num_inference_steps < 1:
+            raise ValueError(
+                f"num_inference_steps must be >= 1, got {o.num_inference_steps}"
+            )
+        if o.smooth_attentions and not o.sigma > 0:
+            raise ValueError(
+                f"sigma must be > 0 (got {o.sigma}); pass "
+                "smooth_attentions=False to disable smoothing"
+            )
+        if o.kernel_size < 1:
+            raise ValueError(f"kernel_size must be >= 1, got {o.kernel_size}")
+        sample = getattr(self.sd.config, "latent_size", 64)
+        if (
+            o.attention_res < 1
+            or o.attention_res > sample
+            or sample % o.attention_res
+            or o.attention_res & (o.attention_res - 1)
+        ):
+            raise ValueError(
+                f"attention_res must be a power-of-two divisor of the UNet "
+                f"latent resolution ({sample}), got {o.attention_res}"
+            )
+
         hp = o.hp or HyperParams()
         if o.thresholds is not None:
             hp = hp.replace(thresholds=o.thresholds)

@@ -22,6 +22,32 @@ def guided_out(pipe):
     return pipe(meta_prompt=META, seed=1, num_inference_steps=4, thresholds={0: 0.5})
 
 
+def test_degenerate_knobs_rejected_with_clear_errors(pipe):
+    """Garbage knobs must fail fast at prepare with a ValueError (HTTP 400
+    through the serving frontends) — probed failure modes they replace:
+    steps=0 ZeroDivisionError mid-schedule, sigma=0 an all-NaN smoothing
+    kernel silently poisoning the outputs, attention_res=7 an obscure
+    trace-time concatenate error."""
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=0)
+    with pytest.raises(ValueError, match="sigma"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=2, sigma=0.0)
+    with pytest.raises(ValueError, match="kernel_size"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=2, kernel_size=0)
+    with pytest.raises(ValueError, match="attention_res"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=2, attention_res=7)
+    # bound comes from THIS model's latent resolution (micro: 16), not a
+    # hardcoded SD 64 — 32 is valid for SD1.5 but not here
+    with pytest.raises(ValueError, match="attention_res"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=2, attention_res=32)
+    # sigma irrelevant when smoothing is off: must NOT raise at validation
+    # (reaches the normal path; 2 steps standard-SD to keep it cheap)
+    out = pipe(meta_prompt="a dog", seed=1, num_inference_steps=2,
+               run_standard_sd=True, sigma=0.0, smooth_attentions=False,
+               decode=False, capture_diagnostics=False)
+    assert np.isfinite(out.latents).all()
+
+
 def test_standard_sd_shapes_and_finite(pipe):
     out = pipe(meta_prompt="a dog and a cat", seed=1, num_inference_steps=4, run_standard_sd=True)
     assert out.images.shape == (1, 128, 128, 3)
