@@ -163,14 +163,25 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     # the per-state seed batch runs as ONE sharded program over the device
     # mesh (the reference loops seeds serially, run.py:97-98).
     # --mesh_shape (e.g. '{"data": 2, "tensor": 2}') selects the mesh
-    # explicitly; default is pure data parallelism sized to the batch.
+    # explicitly; default is pure data parallelism sized to the batch. An
+    # explicit mesh routes even batch_size=1 runs through the batch engine
+    # (a {"data":1,"tensor":2} request is legitimate single-sample TP — the
+    # single-stream paths cannot shard), and chunks pad up to the data axis
+    # (repeating the last sample, padded outputs dropped) so a trailing
+    # partial chunk can't crash pjit's divisibility check mid-sweep.
     mesh = None
+    data_ax = 1
     if config.mesh_shape:
         from guided_attention_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(config.mesh_shape)
+        data_ax = dict(mesh.shape).get("data", 1)
+
+    def pad_chunk(chunk):
+        return chunk + [chunk[-1]] * ((-len(chunk)) % data_ax)
+
     work = []
-    if config.batch_size > 1:
+    if config.batch_size > 1 or mesh is not None:
         # (prompt x seed) grid per sweep state, chunked into sharded batches;
         # with multiple prompts each batch is a MULTI-PROMPT program (BASELINE
         # config 5) — per-sample specs/embeddings, one compile. Chunks
@@ -185,8 +196,9 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             # not pipeline here.
             state_dir = str(config.state_dir or (config.output_path / "state"))
             for hp, chunk in chunks:
-                chunk_seeds = [s for _, s in chunk]
-                chunk_prompts = [mp for mp, _ in chunk]
+                padded = pad_chunk(chunk)
+                chunk_seeds = [s for _, s in padded]
+                chunk_prompts = [mp for mp, _ in padded]
                 print(
                     f"Seeds (sharded batch, resumable every "
                     f"{config.checkpoint_every} steps): {chunk_seeds}"
@@ -206,6 +218,7 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
                 )
                 if outs and outs[0].resumed_from_step:
                     print(f"  resumed from step {outs[0].resumed_from_step}")
+                # zip against the UNpadded chunk: padded outputs are dropped
                 work.extend((s, hp, mp, o) for (mp, s), o in zip(chunk, outs))
             chunks = []
 
@@ -215,8 +228,9 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
 
         pending = None
         for hp, chunk in chunks:
-            chunk_seeds = [s for _, s in chunk]
-            chunk_prompts = [mp for mp, _ in chunk]
+            padded = pad_chunk(chunk)
+            chunk_seeds = [s for _, s in padded]
+            chunk_prompts = [mp for mp, _ in padded]
             print(f"Seeds (sharded batch): {chunk_seeds}")
             if len(set(chunk_prompts)) == 1:
                 pb = pipe.dispatch_batch(

@@ -25,6 +25,7 @@ WEB_DIR = Path(__file__).parent / "web"
 
 
 def run_server(config, pipe, host: str = "127.0.0.1", port: int = 5000, once: bool = False):
+    from guided_attention_tpu.annotation import parse_prompt
     from guided_attention_tpu.frontends import cli as cli_mod
 
     static_dir = config.output_path / "static"
@@ -61,22 +62,27 @@ def run_server(config, pipe, host: str = "127.0.0.1", port: int = 5000, once: bo
                 self._send(404, b"not found", "text/plain")
                 return
             try:
+                # request validation only: bad JSON / malformed meta-prompt
+                # (e.g. unbalanced bracket) -> JSON 400 the UI can show.
+                # Faults past this boundary are SERVER errors (500 below) —
+                # a mid-generation ValueError is not the client's fault.
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 meta_prompt = payload.get("variable1", "")
+                parse_prompt(meta_prompt, pipe.registry.as_dict())
+            except (ValueError, KeyError, TypeError) as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+                return
+            try:
                 with lock:
                     config.meta_prompt = meta_prompt
                     config.seeds = [int(random.randrange(4294967294))]  # gui.py:29
                     config.interactive = True
                     image_path = cli_mod.execute(config, pipe)
                     shutil.copyfile(str(image_path), static_dir / "output.png")
-            except (ValueError, KeyError, TypeError) as e:
-                # bad JSON / malformed meta-prompt (e.g. unbalanced bracket):
-                # a JSON error the UI can show, never a dropped connection
-                self._send(400, json.dumps({"error": str(e)}).encode(),
-                           "application/json")
-                return
-            except Exception as e:  # noqa: BLE001 — server-side failure
+            except Exception as e:  # noqa: BLE001 — server-side failure,
+                # never a dropped connection
                 self._send(500,
                            json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(),
                            "application/json")

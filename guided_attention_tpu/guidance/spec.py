@@ -91,14 +91,16 @@ def _box_weight_maps(
     cy = ii + 0.5
     rcx, rcy = r.center()
     # normalized distance from box center: 0 at center, 1 at corner
-    # (helpers.py:175-185). A degenerate zero-area box divides by zero here;
-    # the resulting inf/nan cells are all OUTSIDE the (empty) inside mask and
-    # discarded by the np.where below — silence the warning, don't "fix" the
-    # value (the reference divides by zero identically).
-    with np.errstate(divide="ignore", invalid="ignore"):
-        c_dist = np.sqrt(
-            (2.0 * (rcx - cx) / r.width) ** 2 + (2.0 * (rcy - cy) / r.height) ** 2
-        ) / np.sqrt(2.0)
+    # (helpers.py:175-185). Clamp the denominators: a degenerate zero-width/
+    # height box otherwise divides by zero, and when its edge lands exactly
+    # on a cell center the 0/0 = NaN cell IS inside the mask and silently
+    # NaN-poisons the whole run (the reference divides by zero identically).
+    # For the degenerate box the distance term is undefined anyway; the
+    # clamp yields a huge finite c_dist -> the minimum interp weight.
+    c_dist = np.sqrt(
+        (2.0 * (rcx - cx) / max(r.width, 1e-6)) ** 2
+        + (2.0 * (rcy - cy) / max(r.height, 1e-6)) ** 2
+    ) / np.sqrt(2.0)
     w_inside = np.interp(c_dist, [0.0, 0.333, 0.666, 1.0], [3.0, 2.5, 1.0, 0.2])
     weights = np.where(inside, w_inside, 1.0)
     num_inside = int(inside.sum())

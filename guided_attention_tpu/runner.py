@@ -8,6 +8,7 @@ hyperparams) pair, cached, with all per-run data passed as arrays.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -313,17 +314,27 @@ class GuidedAttentionPipeline:
         # that poisoned the whole run (finite=False outputs), and an
         # off-grid attention_res died with "need at least one array to
         # concatenate" at trace time.
-        if o.num_inference_steps < 1:
+        if not 1 <= o.num_inference_steps <= 10_000:
+            # upper bound matters for serving: schedule/diagnostic arrays are
+            # allocated proportional to steps at prepare time, under the
+            # pipeline lock — an unbounded value is a one-request DoS
             raise ValueError(
-                f"num_inference_steps must be >= 1, got {o.num_inference_steps}"
+                f"num_inference_steps must be in [1, 10000], got {o.num_inference_steps}"
             )
-        if o.smooth_attentions and not o.sigma > 0:
+        if o.run_standard_sd is False and o.smooth_attentions and not o.sigma > 0:
+            # standard SD never builds the smoothing kernel — don't reject a
+            # sweep's control arm over a knob it doesn't use
             raise ValueError(
                 f"sigma must be > 0 (got {o.sigma}); pass "
                 "smooth_attentions=False to disable smoothing"
             )
-        if o.kernel_size < 1:
-            raise ValueError(f"kernel_size must be >= 1, got {o.kernel_size}")
+        if not 1 <= o.kernel_size <= 99:
+            raise ValueError(f"kernel_size must be in [1, 99], got {o.kernel_size}")
+        for name in ("guidance_scale", "scale_factor", "sigma", "eta"):
+            if not math.isfinite(getattr(o, name)):
+                raise ValueError(f"{name} must be finite, got {getattr(o, name)}")
+        if not all(math.isfinite(v) for v in o.scale_range):
+            raise ValueError(f"scale_range must be finite, got {o.scale_range}")
         sample = getattr(self.sd.config, "latent_size", 64)
         if (
             o.attention_res < 1

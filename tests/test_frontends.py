@@ -303,6 +303,36 @@ def test_cli_mesh_shape_is_wired(artifacts, tmp_path, monkeypatch):
     assert dict(seen[0].shape) == {"data": 2}
 
 
+def test_cli_mesh_shape_pads_partial_chunks(artifacts, tmp_path, monkeypatch):
+    """3 seeds / batch 2 / data-axis 2: the trailing 1-seed chunk must pad
+    up to the data axis (repeating the last seed; padded output dropped)
+    instead of crashing pjit's divisibility check after the first chunk
+    already ran — and an explicit mesh engages even though batch_size would
+    otherwise default the run to the unsharded single-seed path."""
+    _, pipe, _, _ = artifacts
+    config = RunConfig(
+        meta_prompt="a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]",
+        seeds=[1, 2, 3],
+        n_inference_steps=2,
+        output_path=tmp_path,
+        batch_size=2,
+        mesh_shape={"data": 2},
+    )
+    sizes = []
+    orig = pipe.dispatch_batch
+
+    def spy(seeds, **kw):
+        sizes.append(list(seeds))
+        return orig(seeds, **kw)
+
+    monkeypatch.setattr(pipe, "dispatch_batch", spy)
+    cli.execute(config, pipe)
+    assert sizes == [[1, 2], [3, 3]], sizes
+    run_dir = [p for p in tmp_path.iterdir() if p.is_dir()][0]
+    finals = [p for p in run_dir.glob("[123]*.png") if "figure" not in p.name]
+    assert len(finals) == 3  # one per REAL seed, no artifact for the pad
+
+
 def test_execute_resumable_cli(artifacts, tmp_path):
     """CLI --checkpoint_every path: the sweep runs through
     generate_resumable, writes the same artifact tree, and cleans up its

@@ -40,10 +40,17 @@ def test_degenerate_knobs_rejected_with_clear_errors(pipe):
     # hardcoded SD 64 — 32 is valid for SD1.5 but not here
     with pytest.raises(ValueError, match="attention_res"):
         pipe(meta_prompt=META, seed=1, num_inference_steps=2, attention_res=32)
-    # sigma irrelevant when smoothing is off: must NOT raise at validation
-    # (reaches the normal path; 2 steps standard-SD to keep it cheap)
+    # a huge steps value is a prepare-time DoS (schedule/diag arrays are
+    # allocated proportional to it under the pipeline lock) — bounded above
+    with pytest.raises(ValueError, match="num_inference_steps"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=10**9)
+    with pytest.raises(ValueError, match="finite"):
+        pipe(meta_prompt=META, seed=1, num_inference_steps=2,
+             scale_factor=float("nan"))
+    # sigma is irrelevant when the run never smooths: standard SD must NOT
+    # be rejected over a knob it doesn't use (a sweep's control arm)
     out = pipe(meta_prompt="a dog", seed=1, num_inference_steps=2,
-               run_standard_sd=True, sigma=0.0, smooth_attentions=False,
+               run_standard_sd=True, sigma=0.0,
                decode=False, capture_diagnostics=False)
     assert np.isfinite(out.latents).all()
 
