@@ -321,7 +321,7 @@ class GuidedAttentionPipeline:
             raise ValueError(
                 f"num_inference_steps must be in [1, 10000], got {o.num_inference_steps}"
             )
-        if o.run_standard_sd is False and o.smooth_attentions and not o.sigma > 0:
+        if not o.run_standard_sd and o.smooth_attentions and not o.sigma > 0:
             # standard SD never builds the smoothing kernel — don't reject a
             # sweep's control arm over a knob it doesn't use
             raise ValueError(

@@ -73,7 +73,6 @@ def unet_forward_flops(cfg: UNetConfig, batch: int = 1, ctx_len: int = 77,
     f += _conv(res, res, cfg.in_channels, chs[0], 3)  # conv_in
 
     skip_chs = [chs[0]]  # res_samples channel trace
-    skip_res = [res]
     cur = chs[0]
     # --- down ---
     for i, out_ch in enumerate(chs):
@@ -86,12 +85,10 @@ def unet_forward_flops(cfg: UNetConfig, batch: int = 1, ctx_len: int = 77,
                     ctx_len, cfg.cross_attention_dim,
                 )
             skip_chs.append(cur)
-            skip_res.append(res)
         if i != n_blocks - 1:
             f += _conv(res // 2, res // 2, out_ch, out_ch, 3)  # downsample
             res //= 2
             skip_chs.append(out_ch)
-            skip_res.append(res)
 
     # --- mid ---
     mid = chs[-1]
@@ -108,7 +105,6 @@ def unet_forward_flops(cfg: UNetConfig, batch: int = 1, ctx_len: int = 77,
         out_ch = rev_ch[i]
         for _ in range(cfg.layers_per_block + 1):
             skip = skip_chs.pop()
-            skip_res.pop()
             f += _resnet(res, cur + skip, out_ch, temb_dim)
             cur = out_ch
             if rev_attn[i]:

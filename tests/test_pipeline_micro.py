@@ -32,6 +32,11 @@ def test_degenerate_knobs_rejected_with_clear_errors(pipe):
         pipe(meta_prompt=META, seed=1, num_inference_steps=0)
     with pytest.raises(ValueError, match="sigma"):
         pipe(meta_prompt=META, seed=1, num_inference_steps=2, sigma=0.0)
+    with pytest.raises(ValueError, match="sigma"):
+        # JSON clients can send run_standard_sd as the int 0 (falsy but not
+        # the literal False) — the guided-mode sigma guard must still fire
+        pipe(meta_prompt=META, seed=1, num_inference_steps=2, sigma=0.0,
+             run_standard_sd=0)
     with pytest.raises(ValueError, match="kernel_size"):
         pipe(meta_prompt=META, seed=1, num_inference_steps=2, kernel_size=0)
     with pytest.raises(ValueError, match="attention_res"):
