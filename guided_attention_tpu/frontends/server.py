@@ -29,6 +29,7 @@ Design:
 HTTP protocol (stdlib ThreadingHTTPServer; handler threads block on the
 batcher, the batcher owns all device dispatch):
   POST /generate {"meta_prompt": "...", "seed"?: int, <generation knobs>,
+                  "hp"?: {<curated HyperParams>},
                   "save_artifacts"?: bool, "annotate"?: bool}
        -> {"seed", "prompt", "width", "height", "image_png_b64",
            "artifacts_path"?}
@@ -52,6 +53,7 @@ import time
 from collections import deque
 from typing import Any, Dict, List, Optional, Tuple
 
+from guided_attention_tpu.config import HyperParams
 from guided_attention_tpu.runner import (
     GuidedAttentionPipeline,
     PipelineOutput,
@@ -60,12 +62,63 @@ from guided_attention_tpu.runner import (
 
 # Request knobs the server accepts, by construction: every PrepareOptions
 # field except the prompt-carriers and host-object fields (those are
-# API-level, not JSON-serializable).
+# API-level, not JSON-serializable). "hp" IS accepted, as a nested object
+# restricted to _HP_HTTP_FIELDS (coerced by _coerce_hp below).
 _KNOB_FIELDS = tuple(
     f.name
     for f in dataclasses.fields(PrepareOptions)
-    if f.name not in ("meta_prompt", "prompt", "annotations", "hp")
+    if f.name not in ("meta_prompt", "prompt", "annotations")
 )
+
+# Curated HyperParams surface over HTTP (VERDICT r3 item 4; the reference's
+# override-grid knobs, utils/shared_state.py:21-36). Deliberately excluded:
+# meta_prompt (the top-level field is the prompt channel), thresholds (the
+# top-level "thresholds" knob already overrides hp.thresholds,
+# runner._prepare_uncached), and optimize_deep_latent (experimental
+# deep-feature mode; API/CLI only). (name, type, (lo, hi)) — bools reject
+# int 0/1 so a client typo like "strict": "true" fails loudly.
+_HP_HTTP_FIELDS: Dict[str, Tuple[type, Tuple[float, float]]] = {
+    "strict": (bool, (0, 1)),
+    "use_optimizer": (bool, (0, 1)),
+    "recurse_steps": (int, (1, 100)),
+    "recurse_until": (int, (-1, 10_000)),
+    "paint_with_words_stop": (int, (0, 10_000)),
+    "inside_loss_scale": (float, (0.0, 1e6)),
+    "outside_loss_scale": (float, (0.0, 1e6)),
+    "shrink_factor": (float, (0.0, 0.99)),
+    "bb_center_weight": (float, (0.0, 1e6)),
+    "paint_with_words_weight": (float, (0.0, 1e6)),
+    "keyword_max_loss_scale": (float, (0.0, 1e6)),
+}
+
+
+def _coerce_hp(obj: Any) -> HyperParams:
+    """JSON object -> validated HyperParams (unknown/ill-typed/out-of-range
+    fields are per-request errors, HTTP 400)."""
+    if not isinstance(obj, dict):
+        raise RequestError(f"hp must be a JSON object, got {type(obj).__name__}")
+    unknown = set(obj) - set(_HP_HTTP_FIELDS)
+    if unknown:
+        raise RequestError(
+            f"unknown hp field(s): {sorted(unknown)}; allowed: {sorted(_HP_HTTP_FIELDS)}"
+        )
+    out: Dict[str, Any] = {}
+    for name, value in obj.items():
+        typ, (lo, hi) = _HP_HTTP_FIELDS[name]
+        if typ is bool:
+            if not isinstance(value, bool):
+                raise RequestError(f"hp.{name} must be a JSON boolean, got {value!r}")
+            out[name] = value
+            continue
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise RequestError(f"hp.{name} must be a number, got {value!r}")
+        if typ is int and not float(value).is_integer():
+            raise RequestError(f"hp.{name} must be an integer, got {value!r}")
+        value = typ(value)
+        if not (lo <= value <= hi):
+            raise RequestError(f"hp.{name} must be in [{lo}, {hi}], got {value}")
+        out[name] = value
+    return HyperParams(**out)
 
 
 class RequestError(ValueError):
@@ -167,6 +220,12 @@ class BatchingEngine:
         unknown = set(knobs) - set(_KNOB_FIELDS)
         if unknown:
             raise RequestError(f"unknown field(s): {sorted(unknown)}")
+        if knobs.get("hp") is not None and not isinstance(knobs["hp"], HyperParams):
+            # HTTP clients send a JSON object (coerced by _coerce_hp in the
+            # handler); direct API callers must pass a HyperParams
+            raise RequestError(
+                f"hp must be a HyperParams, got {type(knobs['hp']).__name__}"
+            )
         if not isinstance(meta_prompt, str) or not meta_prompt.strip():
             raise RequestError("meta_prompt must be a non-empty string")
         if seed is None:
@@ -370,12 +429,14 @@ class BatchingEngine:
 
 # ----------------------------------------------------------------- HTTP
 def _coerce_knobs(payload: Dict[str, Any]) -> Dict[str, Any]:
-    """JSON -> PrepareOptions field types (thresholds keys, tuples)."""
+    """JSON -> PrepareOptions field types (thresholds keys, tuples, hp)."""
     knobs = dict(payload)
     if isinstance(knobs.get("thresholds"), dict):
         knobs["thresholds"] = {int(k): float(v) for k, v in knobs["thresholds"].items()}
     if isinstance(knobs.get("scale_range"), list):
         knobs["scale_range"] = tuple(float(v) for v in knobs["scale_range"])
+    if knobs.get("hp") is not None:
+        knobs["hp"] = _coerce_hp(knobs["hp"])
     return knobs
 
 
@@ -504,13 +565,12 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                 "image_png_b64": base64.b64encode(_png_bytes(out.images)).decode(),
             }
             if save_artifacts:
-                from guided_attention_tpu.config import HyperParams
                 from guided_attention_tpu.runtime.artifacts import write_run_artifacts
 
                 # reconstruct the hp the runner derived for this request
-                # (meta_prompt path: defaults + thresholds override,
+                # (request hp or defaults, + thresholds override,
                 # runner._prepare_uncached)
-                hp = HyperParams()
+                hp = ticket.knobs.get("hp") or HyperParams()
                 if ticket.knobs.get("thresholds") is not None:
                     hp = hp.replace(thresholds=ticket.knobs["thresholds"])
                 try:

@@ -360,3 +360,108 @@ def test_http_roundtrip(engine, tmp_path):
     finally:
         server2.shutdown()
         server2.server_close()
+
+
+# ---- HyperParams over HTTP (VERDICT r3 item 4) ----
+def test_coerce_hp_validation():
+    from guided_attention_tpu.config import HyperParams
+    from guided_attention_tpu.frontends.server import _coerce_hp
+
+    hp = _coerce_hp(dict(strict=True, recurse_steps=1, recurse_until=5,
+                         bb_center_weight=0.1, paint_with_words_stop=3,
+                         paint_with_words_weight=2.0, use_optimizer=True,
+                         keyword_max_loss_scale=0.5, inside_loss_scale=0.3,
+                         outside_loss_scale=0.4, shrink_factor=0.1))
+    assert isinstance(hp, HyperParams)
+    assert hp.strict is True and hp.recurse_steps == 1 and hp.use_optimizer is True
+    assert hp.thresholds == {0: 1.0}  # untouched default
+
+    # integer-valued floats are fine for int fields; JSON has no int/float split
+    assert _coerce_hp({"recurse_steps": 2.0}).recurse_steps == 2
+
+    with pytest.raises(RequestError, match="unknown hp"):
+        _coerce_hp({"thresholds": {0: 1.0}})  # thresholds: top-level knob only
+    with pytest.raises(RequestError, match="unknown hp"):
+        _coerce_hp({"optimize_deep_latent": True})  # deliberately not served
+    with pytest.raises(RequestError, match="JSON object"):
+        _coerce_hp([1, 2])
+    with pytest.raises(RequestError, match="boolean"):
+        _coerce_hp({"strict": 1})
+    with pytest.raises(RequestError, match="number"):
+        _coerce_hp({"recurse_steps": True})
+    with pytest.raises(RequestError, match="integer"):
+        _coerce_hp({"recurse_steps": 1.5})
+    with pytest.raises(RequestError, match=r"in \[1, 100\]"):
+        _coerce_hp({"recurse_steps": 0})
+    with pytest.raises(RequestError, match="must be a number"):
+        _coerce_hp({"bb_center_weight": "big"})
+    with pytest.raises(RequestError):
+        _coerce_hp({"shrink_factor": 1.0})
+
+
+def test_hp_in_group_key_and_submit_type_check(pipe):
+    from guided_attention_tpu.config import HyperParams
+
+    eng = BatchingEngine(pipe, _start_thread=False)
+    try:
+        hp1 = HyperParams(recurse_steps=1)
+        t_default = eng.submit(PROMPT, seed=1, **KNOBS)
+        t_hp_a = eng.submit(PROMPT, seed=2, hp=hp1, **KNOBS)
+        t_hp_b = eng.submit(PROMPT, seed=3, hp=HyperParams(recurse_steps=1), **KNOBS)
+        # equal hp coalesces; different hp must split (hp is in cache_key)
+        assert t_hp_a.group_key == t_hp_b.group_key
+        assert t_default.group_key != t_hp_a.group_key
+
+        with pytest.raises(RequestError, match="hp must be a HyperParams"):
+            eng.submit(PROMPT, seed=4, hp={"recurse_steps": 1}, **KNOBS)
+    finally:
+        eng.close()
+
+
+def test_hp_over_http(engine, pipe):
+    """A request with "hp" generates (200) with the hp actually applied
+    (pixels equal the direct runner call with the same HyperParams), and
+    invalid hp is a 400, not a batch poison."""
+    import http.client
+
+    server = make_server(engine, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(dict(meta_prompt=PROMPT, seed=21,
+                               hp={"recurse_steps": 1},
+                               thresholds={"0": 0.1}, num_inference_steps=2,
+                               max_iter_to_alter=1))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/generate", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        png = base64.b64decode(out["image_png_b64"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        from guided_attention_tpu.config import HyperParams
+
+        direct = pipe.generate_batch(
+            [21], meta_prompt=PROMPT, hp=HyperParams(recurse_steps=1),
+            capture_diagnostics=False, **KNOBS,
+        )[0]
+        from guided_attention_tpu.runtime.artifacts import to_pil
+        import io
+
+        buf = io.BytesIO()
+        to_pil(direct.images[0]).save(buf, format="PNG")
+        assert buf.getvalue() == png
+
+        for bad in ({"nope": 1}, {"recurse_steps": 0}, {"strict": "yes"}, 7):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("POST", "/generate",
+                      body=json.dumps(dict(meta_prompt=PROMPT, seed=1, hp=bad)),
+                      headers={"Content-Type": "application/json"})
+            r = c.getresponse()
+            assert r.status == 400, (bad, r.status)
+            assert "hp" in json.loads(r.read())["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
