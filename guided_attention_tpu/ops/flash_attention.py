@@ -45,21 +45,33 @@ INTERPRET = False
 # ---------------------------------------------------------------------------
 
 
-def _self_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # q: [BLKQ, D]; k, v: [N, D]; o: [BLKQ, D]
+def _self_fwd_kernel(q_ref, k_ref, v1_ref, o_ref, *, scale: float):
+    # q: [BLKQ, D]; k: [N, D]; v1: [N, D+pad] with a ones column at D.
+    #
+    # VPU-pass-minimized softmax (round-4 chip microbench,
+    # scripts/perf_attn_kernel.py: 1.02 -> 0.74 ms on [16,4096,40], -27%;
+    # 0.50 -> 0.29 ms on [8,4096,40]):
+    #   * scale folds into the [BLKQ, D] q block instead of a full
+    #     [BLKQ, N] f32 multiply on the scores;
+    #   * the softmax denominator comes from the PV matmul itself — V is
+    #     augmented with a ones column, so l = (p @ v1)[:, D] rides the MXU
+    #     for free (40-wide and 48-wide both pad to the same 128-lane tile)
+    #     and BOTH the [BLKQ, N] sum pass and the [BLKQ, N] divide pass
+    #     disappear; the divide shrinks to [BLKQ, D];
+    #   * dividing the f32-accumulated PV output (instead of normalizing p
+    #     before the bf16 cast) also tightens numerics slightly.
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0]
+    v1 = v1_ref[0]
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLKQ, N]
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BLKQ, N]
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
-    )
+    p = jnp.exp(s - m).astype(v1.dtype)
+    ol = jnp.dot(p, v1, preferred_element_type=jnp.float32)  # [BLKQ, D+pad]
+    d = o_ref.shape[-1]
+    o_ref[0] = (ol[:, :d] / ol[:, d : d + 1]).astype(o_ref.dtype)
 
 
 def _self_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
@@ -102,6 +114,14 @@ def _self_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sca
 def _self_fwd(q, k, v, scale: float, block_q: int):
     bh, n, d = q.shape
     grid = (bh, _cdiv(n, block_q))
+    # ones column for the in-matmul softmax sum; d+8 keeps an 8-aligned
+    # minor size (both 40 and 48 pad to one 128-lane tile — the extra MXU
+    # columns are free)
+    dpad = d + 8
+    v1 = jnp.concatenate(
+        [v, jnp.ones((bh, n, 1), v.dtype), jnp.zeros((bh, n, dpad - d - 1), v.dtype)],
+        axis=-1,
+    )
     out = pl.pallas_call(
         functools.partial(_self_fwd_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -109,11 +129,11 @@ def _self_fwd(q, k, v, scale: float, block_q: int):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dpad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         interpret=INTERPRET,
-    )(q, k, v)
+    )(q, k, v1)
     return out
 
 
