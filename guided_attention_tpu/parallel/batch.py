@@ -51,8 +51,10 @@ def build_batch_generate(
 
     ``segment_len=L`` makes it scan only the L steps [start, start+L) with a
     trailing TRACED ``start`` argument (shared by the whole batch) — the
-    checkpoint/resume building block (runtime/checkpoint.py), single-process
-    only (runner.generate_batch_resumable gates this).
+    checkpoint/resume building block (runtime/checkpoint.py). Multi-process:
+    ``start`` is glued as a replicated global scalar alongside the other
+    args (every host passes the same value — segment bounds are derived
+    from the shared run config).
     """
     raw = build_generate_raw(_vmap_safe_bundle(sd), statics, hp, segment_len=segment_len)
     seg_extra = () if segment_len is None else (None,)
@@ -102,13 +104,13 @@ def build_batch_generate(
         flat, treedef = jax.tree_util.tree_flatten(params)
         return (treedef, tuple((tuple(l.shape), str(l.dtype)) for l in flat))
 
-    def _to_global(params, emb, latents0, spec, sched, arrays, keys):
+    def _to_global(params, emb, latents0, spec, sched, arrays, keys, *start):
         """Multi-process: build global arrays from host-local values.
 
-        Every process passes identical replicated args (params/sched/arrays —
-        same seeds and config everywhere) and its OWN slice of the batched
-        args (latents0/keys, and emb/spec in per-prompt mode, sliced by
-        process index), glued into one global array over the mesh
+        Every process passes identical replicated args (params/sched/arrays/
+        start — same seeds and config everywhere) and its OWN slice of the
+        batched args (latents0/keys, and emb/spec in per-prompt mode, sliced
+        by process index), glued into one global array over the mesh
         (multihost_utils)."""
         import numpy as np
         from jax.experimental import multihost_utils as mh
@@ -155,19 +157,18 @@ def build_batch_generate(
         arrays = mh.host_local_array_to_global_array(arrays, mesh, rep)
         latents0 = mh.host_local_array_to_global_array(np.asarray(latents0)[sl], mesh, bat)
         keys = mh.host_local_array_to_global_array(np.asarray(keys)[sl], mesh, bat)
-        return params, emb, latents0, spec, sched, arrays, keys
+        start = tuple(
+            mh.host_local_array_to_global_array(np.asarray(s), mesh, rep) for s in start
+        )
+        return (params, emb, latents0, spec, sched, arrays, keys) + start
 
     def generate(params, emb, latents0, spec, sched, arrays, keys, *start):
         key = _params_key(params)
         if key not in cache:
             cache[key] = make(params)
         if jax.process_count() > 1:
-            if segment_len is not None:
-                raise NotImplementedError(
-                    "segmented batch generation is single-process only"
-                )
-            params, emb, latents0, spec, sched, arrays, keys = _to_global(
-                params, emb, latents0, spec, sched, arrays, keys
+            params, emb, latents0, spec, sched, arrays, keys, *start = _to_global(
+                params, emb, latents0, spec, sched, arrays, keys, *start
             )
         return cache[key](params, emb, latents0, spec, sched, arrays, keys, *start)
 

@@ -704,16 +704,20 @@ class GuidedAttentionPipeline:
         batch scans in segments of ``checkpoint_every`` steps, persisting
         (step, batch latents, diagnostics) after each — a preempted sweep
         re-invoked with the same seeds/prompts/config resumes exactly
-        (see ``generate_resumable``; single-process only — multi-host sweeps
-        resume per-host runs). kwargs feed PrepareOptions (use
-        ``meta_prompt=`` for a shared prompt, ``meta_prompts=`` per-seed)."""
+        (see ``generate_resumable``). kwargs feed PrepareOptions (use
+        ``meta_prompt=`` for a shared prompt, ``meta_prompts=`` per-seed).
+
+        Multi-process: every host runs this same call in lockstep; after
+        each segment the results allgather (multihost.to_host) so EVERY
+        host persists the whole-batch state (identical bytes; atomic
+        per-process tmp files make shared state dirs safe), and resume
+        re-slices each host's portion via the batch engine's host-local
+        glue (parallel/batch._to_global). Decode is primary-only, matching
+        ``generate_batch``."""
         from guided_attention_tpu.parallel.batch import build_batch_generate
+        from guided_attention_tpu.parallel.multihost import is_primary
         from guided_attention_tpu.runtime import checkpoint as ckpt
 
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "resumable batch generation is single-process only"
-            )
         opts = PrepareOptions(**kwargs)
         per_prompt, hp, spec, statics, sched, arrays, emb, per_out = self._prepare_batch(
             opts, seeds, meta_prompts
@@ -758,7 +762,10 @@ class GuidedAttentionPipeline:
         )
 
         batch_images = None
-        if decode:
+        if decode and is_primary():
+            # every host holds the full-batch latents after the segment
+            # allgather; decode locally on the primary only (multi-process
+            # parity with dispatch_batch's primary-only decode)
             with mesh:
                 B = len(seeds)
                 flat = jnp.asarray(lat_np).reshape((B,) + lat_np.shape[2:])
@@ -811,8 +818,10 @@ class GuidedAttentionPipeline:
         (final latents np, full-run diags, resumed_from_step)."""
         import contextlib
 
+        from guided_attention_tpu.parallel.multihost import to_host
         from guided_attention_tpu.runtime import checkpoint as ckpt
 
+        multi = jax.process_count() > 1
         lat_np, start, all_diags = None, 0, None
         if resume:
             st = ckpt.latest_state(state_dir, identity, axis=axis)
@@ -831,8 +840,14 @@ class GuidedAttentionPipeline:
                     self.sd.params, emb, latents, spec, sched, arrays, keys,
                     jnp.int32(a),
                 )
-                # one batched pull; the next segment donates the device latents
-                lat_np, diag_np = jax.device_get((latents, diags))
+                # one batched pull; the next segment donates the device
+                # latents. Multi-process: allgather the full batch so every
+                # host persists whole-batch state (and the next segment
+                # re-slices this host's portion from the numpy full batch —
+                # a global sharded array is not host-addressable here).
+                lat_np, diag_np = to_host((latents, diags))
+                if multi:
+                    latents = lat_np
                 ckpt.save_state(state_dir, identity, b, lat_np, diag_np, seg_start=a)
                 all_diags = (
                     diag_np if all_diags is None

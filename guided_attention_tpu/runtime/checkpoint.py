@@ -68,7 +68,11 @@ def save_state(
         "diags": serialization.to_state_dict(diags),
     }
     dst = _path(state_dir, identity, step)
-    tmp = dst.with_suffix(".tmp")
+    # per-process tmp name: in a multi-host run every host writes the same
+    # (identical, post-allgather) state; unique tmps keep concurrent writers
+    # on a SHARED state dir from corrupting each other's in-flight file —
+    # the final os.replace is atomic and last-writer-wins on equal bytes
+    tmp = dst.with_suffix(f".tmp{os.getpid()}")
     tmp.write_bytes(serialization.msgpack_serialize(payload))
     os.replace(tmp, dst)
     return dst
