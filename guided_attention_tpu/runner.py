@@ -63,6 +63,26 @@ class PipelineOutput:
     # restarted this generation from (0 = ran from scratch)
     resumed_from_step: int = 0
 
+    def average_maps(self) -> Optional[np.ndarray]:
+        """Cross-step averaged attention maps [R, R, K] — the counterpart of
+        the reference's ``AttentionStore(save_global_store=True)`` +
+        ``get_average_global_attention`` (reference utils/ptp_utils.py:
+        233-251). Documented deviation: the reference accumulates the raw
+        per-layer store over every controller step (CFG passes included)
+        and divides by the step count; here the scan's per-step diagnostics
+        carry the final-eval aggregated/smoothed maps, so the average runs
+        over the steps that actually evaluated guidance (n_evals > 0).
+        Returns None when no step produced maps (run_standard_sd, or
+        capture_diagnostics=False)."""
+        d = self.diagnostics
+        maps = np.asarray(d.maps, np.float32)
+        if maps.ndim != 4 or maps.shape[1] < 2:  # diag_level 0 placeholder
+            return None
+        mask = np.asarray(d.n_evals) > 0
+        if not mask.any():
+            return None
+        return maps[mask].mean(axis=0)
+
 
 @dataclasses.dataclass
 class PendingOutput:

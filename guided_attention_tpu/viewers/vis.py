@@ -92,11 +92,23 @@ def show_cross_attention(
     step: int = -1,
     out_res: int = 256,
     save_path=None,
+    avg: bool = False,
 ):
     """Overlay each bound token's map (from diagnostics) on the output image
-    (reference vis_utils.py:12-35). ``tokens`` = spec.words."""
+    (reference vis_utils.py:12-35). ``tokens`` = spec.words. ``avg=True``
+    overlays the cross-step averaged maps instead of one step's (reference
+    ``get_average_global_attention``, utils/ptp_utils.py:245-251; see
+    PipelineOutput.average_maps)."""
     d = out.diagnostics
-    maps = d.maps[step]  # [R, R, K]
+    if avg:
+        maps = out.average_maps()
+        if maps is None:
+            raise ValueError(
+                "no averaged maps available (run_standard_sd or "
+                "capture_diagnostics=False)"
+            )
+    else:
+        maps = d.maps[step]  # [R, R, K]
     image = out.images[0]
     tiles = []
     for tok, word in tokens:

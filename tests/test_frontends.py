@@ -104,6 +104,29 @@ def test_vis_overlays(artifacts, tmp_path):
     assert (tmp_path / "overlay.png").exists()
     assert pil.size[0] > 0
 
+    # cross-step averaged maps (reference get_average_global_attention,
+    # ptp_utils.py:245-251): mean of final-eval maps over evaluated steps
+    avg = out.average_maps()
+    d = out.diagnostics
+    mask = np.asarray(d.n_evals) > 0
+    assert avg is not None and avg.shape == d.maps.shape[1:]
+    np.testing.assert_allclose(
+        avg, np.asarray(d.maps, np.float32)[mask].mean(axis=0), rtol=1e-6
+    )
+    pil2 = show_cross_attention(
+        out, out.spec.words, avg=True, save_path=str(tmp_path / "overlay_avg.png")
+    )
+    assert (tmp_path / "overlay_avg.png").exists() and pil2.size[0] > 0
+
+    # no maps -> average_maps None, avg viewer raises
+    std = pipe(
+        meta_prompt=config.meta_prompt, seed=7, num_inference_steps=2,
+        run_standard_sd=True,
+    )
+    assert std.average_maps() is None
+    with pytest.raises(ValueError, match="averaged maps"):
+        show_cross_attention(std, std.spec.words, avg=True)
+
 
 def test_hyperparam_sweep_states():
     """Grid expansion semantics (reference shared_state.py:21-36: base
