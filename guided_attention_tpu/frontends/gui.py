@@ -7,10 +7,16 @@ Same protocol as the reference's Flask app (reference gui.py:14-45):
   GET  /static/output.png  -> the last generated image
   every response carries Cache-Control: no-store
 
-Implemented on the stdlib http.server (Flask is not available in this
-environment); single-threaded by design — the reference's Flask debug server
-mutated unguarded global state per request (SURVEY.md §5 'race detection'),
-whereas here each request builds its own immutable config/spec.
+Implemented on the stdlib ThreadingHTTPServer (Flask is not available in
+this environment). Unlike the reference — whose Flask debug server mutates
+unguarded global state per request (SURVEY.md §5 'race detection') — each
+request builds its own immutable spec, and generation goes through the SAME
+micro-batching engine as the production server (frontends/server.py): two
+browser users submitting concurrently coalesce into ONE sharded batch
+program instead of serializing whole generations behind a lock. Artifact
+writing (the reference's per-seed output block) stays behind a lock — the
+matplotlib figure manager and the diag-decode jit cache are not
+thread-safe.
 """
 from __future__ import annotations
 
@@ -18,19 +24,68 @@ import json
 import random
 import shutil
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 WEB_DIR = Path(__file__).parent / "web"
 
 
-def run_server(config, pipe, host: str = "127.0.0.1", port: int = 5000, once: bool = False):
-    from guided_attention_tpu.annotation import parse_prompt
-    from guided_attention_tpu.frontends import cli as cli_mod
+def _config_knobs(config, base_hp):
+    """RunConfig -> engine-submittable generation knobs (mirrors
+    cli.execute's run_kwargs; capture_diagnostics on for artifact parity)."""
+    return dict(
+        num_inference_steps=config.n_inference_steps,
+        guidance_scale=config.guidance_scale,
+        max_iter_to_alter=config.max_iter_to_alter,
+        attention_res=config.attention_res,
+        run_standard_sd=config.run_standard_sd,
+        hp=base_hp,
+        scale_factor=config.scale_factor,
+        scale_range=config.scale_range,
+        smooth_attentions=config.smooth_attentions,
+        sigma=config.sigma,
+        kernel_size=config.kernel_size,
+        sd_2_1=config.sd_2_1,
+        only_update_on_threshold_steps=config.only_update_on_threshold_steps,
+        sub_prompt_avg_within=config.sub_prompt_avg_within,
+        skip_inert_guidance_passes=config.skip_inert_guidance_passes,
+        diagnostic_level=config.diagnostic_level,
+        capture_eval_maps=config.save_all_maps,
+        capture_eval_latents=config.diagnostic_level > 0,
+        eta=config.eta,
+        capture_diagnostics=True,
+    )
 
+
+def run_server(
+    config,
+    pipe,
+    host: str = "127.0.0.1",
+    port: int = 5000,
+    once: bool = False,
+    engine=None,
+    max_wait_ms: float = 150.0,
+):
+    """Serve the interactive UI. ``engine`` injects a shared BatchingEngine
+    (tests / co-hosting with the production server); otherwise one is
+    created with the default buckets."""
+    from guided_attention_tpu.annotation import parse_prompt
+    from guided_attention_tpu.config import HyperParams
+    from guided_attention_tpu.frontends.server import BatchingEngine, OverloadedError
+    from guided_attention_tpu.runtime.artifacts import write_run_artifacts
+
+    if engine is None:
+        engine = BatchingEngine(pipe, max_wait_ms=max_wait_ms)
     static_dir = config.output_path / "static"
     static_dir.mkdir(parents=True, exist_ok=True)
-    lock = threading.Lock()
+    artifact_lock = threading.Lock()
+
+    # precedence parity with the CLI sweep (reference run.py:75-79 +
+    # shared_state.py:21): the base hp state's thresholds override RunConfig
+    # defaults unless --thresholds was explicit
+    base_hp = HyperParams()
+    if getattr(config, "_thresholds_explicit", False):
+        base_hp = base_hp.replace(thresholds=dict(config.thresholds))
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, body: bytes, ctype: str):
@@ -75,12 +130,31 @@ def run_server(config, pipe, host: str = "127.0.0.1", port: int = 5000, once: bo
                            "application/json")
                 return
             try:
-                with lock:
-                    config.meta_prompt = meta_prompt
-                    config.seeds = [int(random.randrange(4294967294))]  # gui.py:29
-                    config.interactive = True
-                    image_path = cli_mod.execute(config, pipe)
+                seed = int(random.randrange(4294967294))  # reference gui.py:29
+                ticket = engine.submit(
+                    meta_prompt, seed=seed, **_config_knobs(config, base_hp)
+                )
+                out = ticket.result(timeout=600)
+                with artifact_lock:
+                    _, image_path, _ = write_run_artifacts(
+                        pipe,
+                        out,
+                        output_path=config.output_path,
+                        seed=seed,
+                        hp=base_hp,
+                        meta_prompt=meta_prompt,
+                        interactive=True,
+                        annotate=config.annotate,
+                        save_cross_attention_maps=config.save_cross_attention_maps,
+                        diagnostic_level=config.diagnostic_level,
+                        save_all_maps=config.save_all_maps,
+                        save_individual_ca_maps_flag=config.save_individual_ca_maps,
+                    )
                     shutil.copyfile(str(image_path), static_dir / "output.png")
+            except OverloadedError as e:
+                self._send(503, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+                return
             except Exception as e:  # noqa: BLE001 — server-side failure,
                 # never a dropped connection
                 self._send(500,
@@ -90,7 +164,7 @@ def run_server(config, pipe, host: str = "127.0.0.1", port: int = 5000, once: bo
             body = json.dumps({"result": str(image_path)}).encode()
             self._send(200, body, "application/json")
 
-    server = HTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     print(f"guided-attention web UI on http://{host}:{port}")
     if once:
         server.handle_request()
