@@ -178,8 +178,20 @@ def test_web_ui_affordances():
         "editAnnotation",
         "CustomLoss",
         "unusedColor",  # color pool (reference :279-291)
+        # in-place prompt editing preserving annotations (reference
+        # contenteditable prompt, web_ui.html:199-247): editing a word must
+        # NOT clear the user's boxes — VERDICT r3 item 9
+        "editWordInPlace",
+        "commitWordEdit",
     ):
         assert needle in ui, needle
+    # the word-edit path must never do the full annotation reset
+    import re
+
+    edit_fns = re.search(
+        r"function editWordInPlace.*?function syncPromptInput", ui, re.S
+    ).group(0)
+    assert "annotations = []" not in edit_fns
 
 
 def test_gui_server_roundtrip(artifacts):
