@@ -33,11 +33,28 @@ META = "a [robot:.6,.3,.4,.55] and a [blue vase:0,.3,.4,.55]"
 META2 = "a [robot:0,.1,.45,.5] and a [blue vase:.55,.4,.4,.5]"
 
 
-def run_load(engine, n_requests: int, concurrency: int) -> float:
-    """Closed loop: `concurrency` clients, one request in flight each."""
+def run_load(engine, n_requests: int, concurrency: int, artifact_dir=None) -> float:
+    """Closed loop: `concurrency` clients, one request in flight each.
+
+    ``artifact_dir`` emulates the HTTP handler's save_artifacts path
+    (VERDICT r3 weak #7 — does artifact disk IO back up the handler
+    threads?): each client, after its pull, writes the full reference
+    artifact tree under the same lock discipline as frontends/server.py."""
+    import itertools
+
     seeds = iter(range(1, n_requests + 1))
     lock = threading.Lock()
     done = []
+    artifact_lock = threading.Lock()
+    req_ids = itertools.count()
+    knobs = {}
+    if artifact_dir is not None:
+        from pathlib import Path
+
+        from guided_attention_tpu.config import HyperParams
+        from guided_attention_tpu.runtime.artifacts import write_run_artifacts
+
+        knobs = dict(capture_diagnostics=True)
 
     def client(i):
         while True:
@@ -46,8 +63,15 @@ def run_load(engine, n_requests: int, concurrency: int) -> float:
             if seed is None:
                 return
             prompt = META if seed % 2 else META2  # mixed-prompt traffic
-            out = engine.submit(prompt, seed=seed).result(timeout=1200)
+            out = engine.submit(prompt, seed=seed, **knobs).result(timeout=1200)
             assert out.images is not None
+            if artifact_dir is not None:
+                with artifact_lock:
+                    write_run_artifacts(
+                        engine.pipe, out,
+                        output_path=Path(artifact_dir) / f"req{next(req_ids):06d}",
+                        seed=seed, hp=HyperParams(), meta_prompt=prompt,
+                    )
             done.append(seed)
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(concurrency)]
@@ -66,6 +90,8 @@ def main():
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--requests", type=int, default=24, help="requests per load level")
+    ap.add_argument("--artifacts", default=None, metavar="DIR",
+                    help="also measure each level with full artifact trees written to DIR")
     ap.add_argument("concurrency", type=int, nargs="*", default=[8, 4],
                     help="closed-loop client counts to measure")
     args = ap.parse_args()
@@ -103,6 +129,16 @@ def main():
         print(f"concurrency {c:2d}: {s_per_img:.3f} s/image sustained "
               f"({n_requests} reqs, buckets used {used}, "
               f"padded {engine.stats['padded_samples'] - pad_before})")
+        if args.artifacts:
+            # capture_diagnostics=True is a different compiled program —
+            # warm it through the engine before timing
+            warm = [engine.submit(META, seed=5000 + i, capture_diagnostics=True)
+                    for i in range(max(c, 4))]
+            for t in warm:
+                t.result(timeout=3600)
+            s_art = run_load(engine, n_requests, c, artifact_dir=args.artifacts)
+            print(f"concurrency {c:2d}: {s_art:.3f} s/image with full artifact trees "
+                  f"(+{100 * (s_art - s_per_img) / s_per_img:.1f}%)")
     engine.close()
 
 

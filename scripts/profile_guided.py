@@ -70,17 +70,28 @@ def _agg_key(event_name: str) -> str:
     return _SUFFIX_RE.sub("", name)
 
 
+# the opcode token sits between the output shape (which ends in a layout
+# brace, or a paren for tuple outputs) and the operand list's open paren
+_OPCODE_RE = re.compile(r"[})]\s+([a-z][a-z0-9\-]*)\(")
+
+
 def _category(event_name: str) -> str:
+    """Categorize by the op's OWN opcode (the token before its operand
+    list), never by operand text — a fusion whose inputs come from a
+    custom-call must not count as a custom-call."""
     n = event_name
-    if "convolution(" in n or "conv" in n.split(" = ")[0]:
+    m = _OPCODE_RE.search(n)
+    op = m.group(1) if m else ""
+    base = n.split(" = ")[0]
+    if op == "convolution" or "convolution" in base:
         return "convolution"
-    if "custom-call" in n:
-        return "custom-call (incl. pallas)"
-    if re.search(r"\bdot\(", n) or "matmul" in n or "einsum" in n:
+    if op == "custom-call":
+        return "custom-call (pallas)"
+    if op == "dot":
         return "matmul"
-    if "copy" in n.split(" = ")[0]:
+    if op.startswith("copy") or "copy" in base or "slice-done" in base:
         return "copy/layout"
-    if "fusion" in n:
+    if op == "fusion" or "fusion" in base:
         return "elementwise/other fusion"
     return "other"
 

@@ -105,7 +105,16 @@ def main(argv=None) -> int:
     state.curHyperParams = hp
     thr = parse_thresholds(args.thresholds)
     if thr is not None:
+        # explicit CLI thresholds override both channels (reference
+        # precedence: request > grid state > RunConfig, run.py:75-79)
         config.thresholds = thr
+        hp["thresholds"] = thr
+    elif "thresholds" in hp:
+        # overrideConfig parity (run.py:75-79): the grid state's thresholds
+        # ({0: 1.0} by default, shared_state.py:21) replace RunConfig's —
+        # this is the reference's EFFECTIVE default, and what the JAX side's
+        # HyperParams defaults to
+        config.thresholds = hp["thresholds"]
     if hasattr(ref_run, "register_custom_loss") and hasattr(ref_run, "ToLeftOf"):
         ref_run.register_custom_loss("toLeftOf", ref_run.ToLeftOf())
     ref_run.parseMetaPrompt(config)

