@@ -39,8 +39,12 @@ def main():
     rng = jax.random.PRNGKey(0)
     failures = 0
 
-    # --- flash self-attention, SD1.5 shape (B=2, H=8, N=4096, D=40) ---
-    for (b, h, n, d), bwd_block in [((2, 8, 4096, 40), 128), ((1, 8, 4096, 40), 64)]:
+    # --- flash self-attention: SD1.5 (D=40) and SD2.1 (D=64) shapes ---
+    for (b, h, n, d), bwd_block in [
+        ((2, 8, 4096, 40), 128),
+        ((1, 8, 4096, 40), 64),
+        ((2, 5, 4096, 64), 128),  # SD2.1 head_dim 64
+    ]:
         ks = jax.random.split(jax.random.fold_in(rng, n + d + bwd_block), 3)
         q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.bfloat16) for kk in ks)
         scale = 1.0 / d**0.5
