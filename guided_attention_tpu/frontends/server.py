@@ -217,6 +217,9 @@ class BatchingEngine:
         """Validate, prepare (spec + CLIP embed, cached), and enqueue."""
         t_submit = time.monotonic()  # BEFORE the prepare/_pipe_lock wait:
         # that wait is part of client-visible latency, /stats must see it
+        # pull-time knob, not a PrepareOptions field (runner.dispatch_batch
+        # kwarg); it still must split batches — a batch is trimmed whole
+        trim = bool(knobs.pop("trim_heavy_diags", False))
         unknown = set(knobs) - set(_KNOB_FIELDS)
         if unknown:
             raise RequestError(f"unknown field(s): {sorted(unknown)}")
@@ -270,7 +273,10 @@ class BatchingEngine:
                 spec.n_groups,
                 spec.custom_group,
                 spec.custom_losses,
+                trim,
             )
+            if trim:
+                knobs["trim_heavy_diags"] = True  # -> dispatch_batch kwarg
             ticket = ServeTicket(
                 meta_prompt=meta_prompt, seed=int(seed), knobs=knobs,
                 group_key=group_key, submitted_at=t_submit,
@@ -476,9 +482,15 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
         ]
         start_id = max(existing, default=-1) + 1
     req_ids = itertools.count(start_id)
-    # write_run_artifacts runs on concurrent handler threads but drives
-    # non-thread-safe state (pyplot's global figure manager, the pipeline's
-    # lazily-built diag-decode jit cache) — serialize it
+    # write_run_artifacts at diagnostic_level > 0 drives non-thread-safe
+    # state (pyplot's global figure manager, the pipeline's lazily-built
+    # diag-decode jit cache) — those requests serialize. Level-0 writes are
+    # concurrency-safe (per-instance native PNG writer pool, PIL, and an
+    # already-compiled decode jit — compiled jax functions are thread-safe
+    # to CALL; --warmup precompiles the x0 decode so no lazy-init race) and
+    # run in parallel: serializing them idled the device ~0.9 s per request
+    # under saturation (scripts/perf_server.py --artifacts measurements,
+    # docs/SERVING.md "Artifact IO under load").
     artifact_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -530,6 +542,12 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                     # real per-token diags; the minimal placeholder would
                     # crash it after a full generation)
                     payload["capture_diagnostics"] = True
+                    if int(payload.get("diagnostic_level", 0)) == 0:
+                        # level 0 only reads x0_pred/latent_in at steps
+                        # [0,1,2] — trim the [S] stacks before the pull
+                        # (~60% of the per-image diagnostic transfer on
+                        # remote-attached TPUs, docs/SERVING.md)
+                        payload["trim_heavy_diags"] = True
                     if int(payload.get("diagnostic_level", 0)) > 0:
                         # per-SUBiteration pred_pre_optim snapshots (reference
                         # pipeline:517-535) need the per-slot latent capture —
@@ -574,7 +592,11 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                 if ticket.knobs.get("thresholds") is not None:
                     hp = hp.replace(thresholds=ticket.knobs["thresholds"])
                 try:
-                    with artifact_lock:
+                    import contextlib
+
+                    diag = int(ticket.knobs.get("diagnostic_level", 0))
+                    lock_ctx = artifact_lock if diag > 0 else contextlib.nullcontext()
+                    with lock_ctx:
                         _, image_path, _ = write_run_artifacts(
                             engine.pipe,
                             out,
@@ -641,6 +663,15 @@ def main(argv: Optional[List[str]] = None) -> None:
         # would stall every concurrent submit behind the pipeline lock
         wp = "a [robot:.6,.3,.4,.55] and a [vase:0,.3,.4,.55]"
         wp2 = "a [robot:0,.1,.45,.5] and a [vase:.55,.4,.4,.5]"
+        # save_artifacts requests run a THIRD program family (diagnostics
+        # captured + heavy stacks trimmed) — warm it per bucket when the
+        # server can serve artifacts, or the first artifact client per
+        # bucket pays a cold batch compile
+        variants = [("", {})]
+        if args.artifact_dir:
+            variants.append(
+                ("+diag", dict(capture_diagnostics=True, trim_heavy_diags=True))
+            )
         for b in buckets:
             for label, prompts in (
                 ("same-prompt", [wp] * b),
@@ -648,11 +679,26 @@ def main(argv: Optional[List[str]] = None) -> None:
             ):
                 if label == "multi-prompt" and b == 1:
                     continue  # a 1-batch is always same-prompt
-                t0 = time.monotonic()
-                tickets = [engine.submit(p, seed=i) for i, p in enumerate(prompts)]
-                for t in tickets:
-                    t.result()
-                print(f"warmup bucket {b} ({label}): {time.monotonic() - t0:.1f} s")
+                for vlabel, vknobs in variants:
+                    t0 = time.monotonic()
+                    tickets = [
+                        engine.submit(p, seed=i, **vknobs)
+                        for i, p in enumerate(prompts)
+                    ]
+                    for t in tickets:
+                        t.result()
+                    print(f"warmup bucket {b} ({label}{vlabel}): {time.monotonic() - t0:.1f} s")
+        if args.artifact_dir:
+            # the first save_artifacts request otherwise pays the x0-decode
+            # jit compile (~15 s measured) INSIDE the artifact lock, stalling
+            # every concurrent artifact writer behind it
+            import numpy as np
+
+            t0 = time.monotonic()
+            s_lat = sd.config.latent_size
+            z = jnp.zeros((3, s_lat, s_lat, sd.config.unet.in_channels), jnp.float16)
+            np.asarray(sd.decode_latents(z))
+            print(f"warmup x0 decode: {time.monotonic() - t0:.1f} s")
 
     server = make_server(engine, host=args.host, port=args.port,
                          artifact_dir=args.artifact_dir)

@@ -51,6 +51,40 @@ def _derive_seed(cfg, seed):
     return lat0, key_run
 
 
+# --- pull-time diagnostic trimming (opt-in: dispatch*(trim_heavy_diags=True))
+# x0_pred and latent_in stack [S] steps of [h,w,C] f16 (~3.2 MB of the
+# ~5.4 MB full-diagnostic transfer per 50-step image), but artifact writing
+# at diagnostic_level 0 only ever reads steps [0, 1, 2] (the reference's
+# always_save_iter, pipeline:881). Trimming happens ON DEVICE before the one
+# batched device->host pull — on remote-attached TPUs the transfer is the
+# dominant cost of the serving artifact path (docs/SERVING.md).
+_TRIM_KEEP = 3
+
+
+@jax.jit
+def _trim_heavy_single(x0_pred, latent_in):
+    return x0_pred[:_TRIM_KEEP], latent_in[:_TRIM_KEEP]
+
+
+@jax.jit
+def _trim_heavy_batch(x0_pred, latent_in):
+    return x0_pred[:, :_TRIM_KEEP], latent_in[:, :_TRIM_KEEP]
+
+
+def _apply_trim(diags, batched: bool):
+    """Replace the heavy per-step leaves with their [:3] prefixes; no-op on
+    placeholder (capture_diagnostics=False) diagnostics."""
+    if diags.x0_pred.ndim < 3 or diags.x0_pred.shape[-2] <= 1:
+        return diags  # minimal placeholders — nothing heavy to trim
+    if isinstance(diags.x0_pred, np.ndarray):  # multi-process: already host
+        k = _TRIM_KEEP
+        sl = (slice(None), slice(0, k)) if batched else slice(0, k)
+        return diags.replace(x0_pred=diags.x0_pred[sl], latent_in=diags.latent_in[sl])
+    fn = _trim_heavy_batch if batched else _trim_heavy_single
+    x0, li = fn(diags.x0_pred, diags.latent_in)
+    return diags.replace(x0_pred=x0, latent_in=li)
+
+
 @dataclasses.dataclass
 class PipelineOutput:
     images: np.ndarray  # [B, H, W, 3] float in [0, 1]
@@ -448,6 +482,7 @@ class GuidedAttentionPipeline:
         eta: float = 0.0,
         capture_eval_latents: bool = False,
         remat_guidance_eval: bool = False,
+        trim_heavy_diags: bool = False,
     ) -> "PendingOutput":
         """Issue one generation WITHOUT pulling results: returns a
         PendingOutput whose ``.result()`` does the (blocking) device->host
@@ -482,6 +517,8 @@ class GuidedAttentionPipeline:
                 self.sd.params, emb, latents, spec, sched, arrays, key_run
             )
             img_u8 = self.sd.decode_latents_u8(final_latents) if decode else None
+        if trim_heavy_diags:
+            diags = _apply_trim(diags, batched=False)
         return PendingOutput(
             _img_u8=img_u8,
             _latents=final_latents,
@@ -598,6 +635,7 @@ class GuidedAttentionPipeline:
         eta: float = 0.0,
         capture_eval_latents: bool = False,
         remat_guidance_eval: bool = False,
+        trim_heavy_diags: bool = False,
     ) -> "PendingBatch":
         """Issue one batch generation WITHOUT pulling results: one sharded
         program over the mesh for the guided scan, plus (single-process) the
@@ -662,6 +700,8 @@ class GuidedAttentionPipeline:
 
         with mesh:
             final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
+            if trim_heavy_diags:
+                diags = _apply_trim(diags, batched=True)
             if jax.process_count() == 1:
                 img_u8 = None
                 if decode:

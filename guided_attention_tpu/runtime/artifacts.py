@@ -227,18 +227,24 @@ class ArtifactWriter:
 
     def write_x0_preds(self, out, decode_fn, steps: Sequence[int]) -> None:
         """Decode + save x0 predictions for selected steps (reference
-        always_save_iter=[0,1,2], pipeline:881,1036)."""
+        always_save_iter=[0,1,2], pipeline:881,1036).
+
+        All selected steps decode as ONE batched call + ONE pull: per-step
+        decode calls cost a dispatch+transfer roundtrip each on
+        remote-attached TPUs (~0.3-0.5 s per artifact write at 3 steps —
+        measured while chasing the serving artifact-path slowdown,
+        docs/SERVING.md 'Artifact IO under load')."""
         d = out.diagnostics
         import numpy as np
 
-        for i in steps:
-            if i >= d.x0_pred.shape[0]:
-                continue
-            img01 = np.asarray(decode_fn(d.x0_pred[i][None]))[0]
+        steps = [i for i in steps if i < d.x0_pred.shape[0]]
+        if not steps:
+            return
+        imgs = np.asarray(decode_fn(np.stack([d.x0_pred[i] for i in steps])))
+        self.step_dir.mkdir(parents=True, exist_ok=True)
+        for i, img01 in zip(steps, imgs):
             fname = (self.clean + self._state_name(i, 0) + "_pred").replace(".", "_") + ".png"
-            p = self.step_dir / fname
-            p.parent.mkdir(parents=True, exist_ok=True)
-            to_pil(img01).save(p)
+            to_pil(img01).save(self.step_dir / fname)
 
     def write_final_image(self, out, annotations, annotate: bool = False):
         img = to_pil(out.images[0])

@@ -42,10 +42,11 @@ def run_load(engine, n_requests: int, concurrency: int, artifact_dir=None) -> fl
     artifact tree under the same lock discipline as frontends/server.py."""
     import itertools
 
+    import numpy as np
+
     seeds = iter(range(1, n_requests + 1))
     lock = threading.Lock()
     done = []
-    artifact_lock = threading.Lock()
     req_ids = itertools.count()
     knobs = {}
     if artifact_dir is not None:
@@ -54,7 +55,19 @@ def run_load(engine, n_requests: int, concurrency: int, artifact_dir=None) -> fl
         from guided_attention_tpu.config import HyperParams
         from guided_attention_tpu.runtime.artifacts import write_run_artifacts
 
-        knobs = dict(capture_diagnostics=True)
+        # mirror the HTTP handler: diagnostics on, heavy per-step stacks
+        # trimmed to the always_save_iter steps before the pull; level-0
+        # writes run CONCURRENTLY (no artifact lock) — serializing them
+        # idled the device under the closed loop. Pre-warm the x0-decode
+        # jit (the server's --warmup does the same) so the first write
+        # doesn't compile inside the timed region.
+        knobs = dict(capture_diagnostics=True, trim_heavy_diags=True)
+        sd = engine.pipe.sd
+        z = jnp.zeros(
+            (3, sd.config.latent_size, sd.config.latent_size, sd.config.unet.in_channels),
+            jnp.float16,
+        )
+        np.asarray(sd.decode_latents(z))
 
     def client(i):
         while True:
@@ -66,12 +79,11 @@ def run_load(engine, n_requests: int, concurrency: int, artifact_dir=None) -> fl
             out = engine.submit(prompt, seed=seed, **knobs).result(timeout=1200)
             assert out.images is not None
             if artifact_dir is not None:
-                with artifact_lock:
-                    write_run_artifacts(
-                        engine.pipe, out,
-                        output_path=Path(artifact_dir) / f"req{next(req_ids):06d}",
-                        seed=seed, hp=HyperParams(), meta_prompt=prompt,
-                    )
+                write_run_artifacts(
+                    engine.pipe, out,
+                    output_path=Path(artifact_dir) / f"req{next(req_ids):06d}",
+                    seed=seed, hp=HyperParams(), meta_prompt=prompt,
+                )
             done.append(seed)
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(concurrency)]
@@ -130,15 +142,28 @@ def main():
               f"({n_requests} reqs, buckets used {used}, "
               f"padded {engine.stats['padded_samples'] - pad_before})")
         if args.artifacts:
-            # capture_diagnostics=True is a different compiled program —
-            # warm it through the engine before timing
-            warm = [engine.submit(META, seed=5000 + i, capture_diagnostics=True)
-                    for i in range(max(c, 4))]
-            for t in warm:
-                t.result(timeout=3600)
+            # capture_diagnostics=True is a different compiled program per
+            # (bucket, prompt-variant) — warm ALL of them before timing.
+            # The closed loop's staggered resubmits form PARTIAL groups, so
+            # smaller buckets get hit too; an unwarmed bucket put a cold
+            # ~60-90 s batch compile inside the timed loop (the round-4
+            # artifact-probe mystery: 7.2 s/image that was really 2 s/image
+            # plus one compile).
+            for b in engine.buckets:
+                for mk in (lambda i: META, lambda i: META if i % 2 else META2):
+                    warm = [engine.submit(mk(i), seed=5000 + 100 * b + i,
+                                          capture_diagnostics=True,
+                                          trim_heavy_diags=True)
+                            for i in range(b)]
+                    for t in warm:
+                        t.result(timeout=3600)
+            before_a = dict(engine.stats["batch_sizes"])
             s_art = run_load(engine, n_requests, c, artifact_dir=args.artifacts)
+            after_a = engine.stats["batch_sizes"]
+            used_a = {k: after_a.get(k, 0) - before_a.get(k, 0)
+                      for k in after_a if after_a.get(k, 0) != before_a.get(k, 0)}
             print(f"concurrency {c:2d}: {s_art:.3f} s/image with full artifact trees "
-                  f"(+{100 * (s_art - s_per_img) / s_per_img:.1f}%)")
+                  f"(+{100 * (s_art - s_per_img) / s_per_img:.1f}%, buckets {used_a})")
     engine.close()
 
 

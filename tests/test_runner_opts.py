@@ -15,6 +15,17 @@ from guided_attention_tpu.config import HyperParams
 from guided_attention_tpu.runner import PrepareOptions
 
 
+@pytest.fixture(scope="module")
+def pipe():
+    import jax.numpy as jnp
+
+    from guided_attention_tpu.models.bundle import StableDiffusion
+    from guided_attention_tpu.runner import GuidedAttentionPipeline
+
+    return GuidedAttentionPipeline(StableDiffusion.create("micro", dtype=jnp.float32))
+
+
+
 def _altered(field, value):
     """A value for `field` guaranteed to differ from the default in cache-key
     space."""
@@ -61,3 +72,46 @@ def test_from_locals_requires_every_field():
     assert PrepareOptions.from_locals({**ns, "self": None, "seed": 3}) == PrepareOptions()
     with pytest.raises(KeyError):  # public-signature drift fails loudly
         PrepareOptions.from_locals({k: v for k, v in ns.items() if k != "eta"})
+
+
+def test_trim_heavy_diags(pipe):
+    """Pull-time trimming of the heavy per-step diagnostic stacks
+    (dispatch(trim_heavy_diags=True)): x0_pred/latent_in keep only the
+    always_save_iter prefix [0,1,2], everything else stays full, and the
+    artifact writer still produces its tree from the trimmed output."""
+    import numpy as np
+
+    kw = dict(meta_prompt="a [dog:.2,.3] x", num_inference_steps=4,
+              thresholds={0: 0.5}, max_iter_to_alter=1)
+    out = pipe.dispatch(seed=3, trim_heavy_diags=True, **kw).result()
+    d = out.diagnostics
+    assert d.x0_pred.shape[0] == 3 and d.latent_in.shape[0] == 3
+    assert d.maps.shape[0] == 4 and d.total_loss.shape[0] == 4  # untouched
+    full = pipe.dispatch(seed=3, **kw).result()
+    np.testing.assert_array_equal(d.x0_pred, full.diagnostics.x0_pred[:3])
+
+    # placeholders (capture_diagnostics=False) pass through untrimmed
+    mini = pipe.dispatch(seed=3, capture_diagnostics=False,
+                         trim_heavy_diags=True, **kw).result()
+    assert mini.diagnostics.x0_pred.shape == (4, 1, 1, 1)
+
+    # batch path trims per sample
+    bouts = pipe.dispatch_batch([1, 2], trim_heavy_diags=True, **kw).result()
+    assert all(o.diagnostics.x0_pred.shape[0] == 3 for o in bouts)
+
+    # the artifact tree still writes from a trimmed output
+    from pathlib import Path
+    import tempfile
+
+    from guided_attention_tpu.config import HyperParams
+    from guided_attention_tpu.runtime.artifacts import write_run_artifacts
+
+    with tempfile.TemporaryDirectory() as td:
+        _, path, _ = write_run_artifacts(
+            pipe, out, output_path=Path(td), seed=3, hp=HyperParams(),
+            meta_prompt=kw["meta_prompt"],
+        )
+        assert Path(path).exists()
+        run_dir = Path(path).parent
+        preds = list((run_dir / "3").glob("*_pred*.png"))
+        assert len(preds) == 3, preds

@@ -224,6 +224,17 @@ def test_http_error_classification_and_capture_forcing(pipe, tmp_path, monkeypat
         assert conn.getresponse().status == 504  # FakeTicket's timeout
         assert captured["capture_diagnostics"] is True
         assert captured["capture_eval_latents"] is True
+        # diag > 0 reads per-step latents — the heavy stacks must NOT trim
+        assert "trim_heavy_diags" not in captured
+
+        # diagnostic_level 0 (default): heavy stacks trim before the pull
+        conn1b = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn1b.request("POST", "/generate", body=json.dumps(dict(
+            meta_prompt=PROMPT, seed=1, save_artifacts=True)),
+            headers={"Content-Type": "application/json"})
+        assert conn1b.getresponse().status == 504
+        assert captured["trim_heavy_diags"] is True
+        assert captured["capture_diagnostics"] is True
 
         class Weird(Exception):
             pass
