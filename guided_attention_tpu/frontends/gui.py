@@ -54,6 +54,11 @@ def _config_knobs(config, base_hp):
         capture_eval_latents=config.diagnostic_level > 0,
         eta=config.eta,
         capture_diagnostics=True,
+        # level-0 artifact writing only reads the heavy per-step stacks at
+        # steps [0,1,2] — trim them before the pull (frontends/server.py
+        # does the same; save_individual_ca_maps needs full latent_in)
+        trim_heavy_diags=config.diagnostic_level == 0
+        and not config.save_individual_ca_maps,
     )
 
 
