@@ -135,6 +135,13 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
     images = []
     image_path = None
 
+    # level-0 sweeps only read the heavy per-step diag stacks at steps
+    # [0,1,2] (x0 preds) — slice them on device before the pull, like the
+    # serving/GUI frontends (save_individual_ca_maps needs full latent_in).
+    # Applied at the dispatch sites only: the resumable paths persist
+    # full-run state and their kwargs feed PrepareOptions directly.
+    trim = config.diagnostic_level == 0 and not config.save_individual_ca_maps
+
     def run_kwargs(hp):
         return dict(
             num_inference_steps=config.n_inference_steps,
@@ -235,12 +242,12 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
             if len(set(chunk_prompts)) == 1:
                 pb = pipe.dispatch_batch(
                     chunk_seeds, meta_prompt=chunk_prompts[0], mesh=mesh,
-                    **run_kwargs(hp)
+                    trim_heavy_diags=trim, **run_kwargs(hp)
                 )
             else:
                 pb = pipe.dispatch_batch(
                     chunk_seeds, meta_prompts=chunk_prompts, mesh=mesh,
-                    **run_kwargs(hp)
+                    trim_heavy_diags=trim, **run_kwargs(hp)
                 )
             if pending is not None:
                 drain_batch(pending)
@@ -285,7 +292,7 @@ def execute(config: RunConfig, pipe, hyperparam_iterations: Optional[List[Dict[s
         pending = None
         for meta_prompt, seed, hp in runs:
             print(f"Seed: {seed}")
-            nxt = (seed, hp, meta_prompt, pipe.dispatch(meta_prompt=meta_prompt, seed=seed, **run_kwargs(hp)))
+            nxt = (seed, hp, meta_prompt, pipe.dispatch(meta_prompt=meta_prompt, seed=seed, trim_heavy_diags=trim, **run_kwargs(hp)))
             if pending is not None:
                 drain(pending)
             pending = nxt
