@@ -48,6 +48,19 @@ def nchw(arr: np.ndarray) -> np.ndarray:
     raise ValueError(f"cannot find channel axis in {arr.shape}")
 
 
+def resoftmax_probs(raw: np.ndarray, last_idx: int = -1) -> np.ndarray:
+    """The reference's x100 re-softmax over the token slice [1:last_idx]
+    (pipeline:216-218), scattered back into the full K width (invalid slots
+    0) — numerically identical to the JAX side's masked softmax
+    (guidance/losses.py compute_token_stats; pinned by
+    tests/test_parity_trace.py::test_resoftmax_matches_repo)."""
+    out = np.zeros(raw.shape, np.float32)
+    sl = raw[:, :, 1:last_idx].astype(np.float32) * 100.0
+    e = np.exp(sl - sl.max(-1, keepdims=True))
+    out[:, :, 1:last_idx] = e / e.sum(-1, keepdims=True)
+    return out
+
+
 def parse_thresholds(s: str):
     if not s:
         return None
@@ -134,16 +147,10 @@ def main(argv=None) -> int:
     pga.aggregate_attention = agg_hook
 
     def probs77(raw):
-        """x100 re-softmax over the reference's token slice (pipeline:216-218),
-        scattered back into K=77 (invalid slots 0) — the JAX side's layout."""
         last = -1
         if args.sd_2_1:
             last = len(model.tokenizer(config.prompt)["input_ids"]) - 1
-        out = np.zeros((R, R, K), np.float32)
-        sl = raw[:, :, 1:last] * 100.0
-        e = np.exp(sl - sl.max(-1, keepdims=True))
-        out[:, :, 1:last] = e / e.sum(-1, keepdims=True)
-        return out
+        return resoftmax_probs(raw, last)
 
     orig_cl = pga.GuidedAttention._compute_loss
 

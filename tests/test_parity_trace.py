@@ -79,3 +79,27 @@ def test_compare_self_bitexact_and_tamper_fails(trace_npz, tmp_path, capsys):
     assert parity_trace.main(["compare", trace_npz, bad, "--rtol", "1e-3", "--atol", "1e-4"]) == 1
     out = capsys.readouterr().out
     assert "FAIL total_loss" in out and "PARITY: FAIL" in out
+
+
+def test_resoftmax_matches_repo():
+    """The reference-side tracer's re-softmax (scripts/reference_trace.py
+    resoftmax_probs — the math the torch hooks apply to raw aggregated
+    maps) must equal the repo's masked softmax (guidance/losses.py
+    compute_token_stats, pipeline:216-218 parity) so trace comparisons
+    compare like with like."""
+    import jax
+    import jax.numpy as jnp
+
+    import reference_trace
+
+    rng = np.random.default_rng(7)
+    raw = rng.random((16, 16, 77)).astype(np.float32) * 0.1
+
+    for last in (-1, 9):  # sd15 slice [1:-1]; sd21-style [1:last_eot]
+        got = reference_trace.resoftmax_probs(raw, last)
+        valid = np.zeros(77, bool)
+        valid[1:last] = True
+        logits = jnp.where(valid[None, None, :], jnp.asarray(raw) * 100.0, -jnp.inf)
+        want = np.asarray(jax.nn.softmax(logits, axis=-1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+        assert (got[:, :, ~valid] == 0).all()
