@@ -70,11 +70,15 @@ def dict_to_string(d) -> str:
 
 
 def save_viridis(map2d: np.ndarray, path: Path) -> None:
-    """Normalized map -> viridis PNG (reference pipeline:1096-1103)."""
+    """Normalized map -> viridis PNG (reference pipeline:1096-1103).
+
+    Uses matplotlib's stateless image writer, not pyplot — no global figure
+    manager, safe from concurrent artifact writers (the serving frontend
+    runs level-0 writes in parallel, frontends/server.py)."""
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    from matplotlib import image as mpimage
 
     x = np.asarray(map2d, np.float32)
     x = x - x.min()
@@ -82,7 +86,7 @@ def save_viridis(map2d: np.ndarray, path: Path) -> None:
     if mx > 0:
         x = x / mx
     path.parent.mkdir(parents=True, exist_ok=True)
-    plt.imsave(path, x)
+    mpimage.imsave(path, x)
 
 
 def to_pil(image01: np.ndarray):
@@ -135,13 +139,17 @@ def image_grid(images: List) -> "object":
 
 
 def save_latent_stats_figure(diag, path: Path) -> None:
-    """means + p99 per channel over steps (reference helpers.py:335-349)."""
-    import matplotlib
+    """means + p99 per channel over steps (reference helpers.py:335-349).
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Built with the object-oriented matplotlib API (Figure + Agg canvas),
+    NOT pyplot: no global figure-manager state, so concurrent artifact
+    writers never race it (frontends/server.py artifact-lock notes)."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
-    fig, ax = plt.subplots()
+    fig = Figure()
+    FigureCanvasAgg(fig)
+    ax = fig.add_subplot()
     C = diag.latent_mean.shape[-1]
     for c in range(C):
         ax.plot(diag.latent_mean[:, c], label=f"ch{c} mean")
@@ -149,7 +157,6 @@ def save_latent_stats_figure(diag, path: Path) -> None:
     ax.legend(loc="best")
     path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(path)
-    plt.close(fig)
 
 
 class ArtifactWriter:
