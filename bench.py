@@ -91,6 +91,21 @@ def main():
         runs.append(out)
     sec = min(times)
 
+    # Sanity-check the min-time run BEFORE printing the contract line: a
+    # broken run (missing or NaN images) must not emit an official-looking
+    # headline number. Cheap: images are already host numpy (pulled by the
+    # timing loop), so these add zero tunnel roundtrips.
+    import numpy as _np
+
+    out = runs[times.index(sec)]
+    assert out.images is not None and out.images.shape[-1] == 3
+    # images are u8-quantized (finite by construction); the NaN-poisoning
+    # signal lives in the float latents, also already host-side
+    assert _np.isfinite(_np.asarray(out.latents, _np.float32)).all(), (
+        "non-finite latents in benched run"
+    )
+    assert out.images.std() > 0, "degenerate (constant) benched image"
+
     # ---- CONTRACT LINE: print + flush NOW, before any optional extras ----
     metric = (
         "sec/image (SMOKE: micro model, 4 steps)"
@@ -112,8 +127,6 @@ def main():
 
     # MFU numerator and denominator must come from the SAME run: eval counts
     # are seed-dependent (the refinement while_loop exits on threshold)
-    out = runs[times.index(sec)]
-    assert out.images is not None and out.images.shape[-1] == 3
     d = out.diagnostics
 
     # MFU: analytic executed-FLOPs from this run's own control-flow counters

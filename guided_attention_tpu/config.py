@@ -155,8 +155,9 @@ class RunConfig:
     # Checkpoint generation state every N denoising steps so an interrupted
     # run resumes exactly where it stopped (runtime/checkpoint.py; the
     # reference regenerates from scratch, SURVEY.md §5). 0 == off. Covers
-    # both the single-stream path and sharded batch sweeps (whole-batch
-    # state); multi-process runs raise NotImplementedError.
+    # the single-stream path, sharded batch sweeps (whole-batch state), and
+    # multi-process runs (every host persists identical whole-batch state;
+    # see runner.generate_batch_resumable / tests/test_multihost_2proc.py).
     checkpoint_every: int = 0
     # Where generation state files live; default <output_path>/state
     state_dir: Optional[str] = None

@@ -487,11 +487,38 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
     # diag-decode jit cache) — those requests serialize. Level-0 writes are
     # concurrency-safe (per-instance native PNG writer pool, PIL, and an
     # already-compiled decode jit — compiled jax functions are thread-safe
-    # to CALL; --warmup precompiles the x0 decode so no lazy-init race) and
-    # run in parallel: serializing them idled the device ~0.9 s per request
-    # under saturation (scripts/perf_server.py --artifacts measurements,
-    # docs/SERVING.md "Artifact IO under load").
+    # to CALL) and run in parallel: serializing them idled the device
+    # ~0.9 s per request under saturation (scripts/perf_server.py
+    # --artifacts measurements, docs/SERVING.md "Artifact IO under load").
     artifact_lock = threading.Lock()
+
+    # The parallel level-0 path must never hit a COLD x0-decode jit compile
+    # from several handler threads at once (jit compilation of the same
+    # signature is not a safe concurrent entry point, and a ~15 s compile
+    # would stall every concurrent writer): compile each decode batch shape
+    # lazily-but-LOCKED on its first artifact request. --warmup pre-warms
+    # the common batch-3 shape; requests with num_inference_steps < 3
+    # produce batch-1/2 decodes and are covered here too.
+    warmed_decode_shapes: set = set()
+    decode_warm_lock = threading.Lock()
+
+    def _ensure_x0_decode_compiled(n_steps: int) -> None:
+        import jax.numpy as jnp
+        import numpy as np
+
+        b = min(3, max(1, n_steps))  # write_x0_preds decodes steps [0,1,2]
+        if b in warmed_decode_shapes:
+            return
+        with decode_warm_lock:
+            if b in warmed_decode_shapes:
+                return
+            cfg = engine.pipe.sd.config
+            z = jnp.zeros(
+                (b, cfg.latent_size, cfg.latent_size, cfg.unet.in_channels),
+                jnp.float16,  # StepDiag.x0_pred stacks f16 — same jit key
+            )
+            np.asarray(engine.pipe.sd.decode_latents(z))
+            warmed_decode_shapes.add(b)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -595,6 +622,13 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1", port: int = 810
                     import contextlib
 
                     diag = int(ticket.knobs.get("diagnostic_level", 0))
+                    if diag == 0:
+                        # parallel path: guarantee the x0-decode jit for this
+                        # request's batch shape is compiled before any
+                        # unlocked write uses it (no-op when already warm)
+                        _ensure_x0_decode_compiled(
+                            int(ticket.knobs.get("num_inference_steps", 50))
+                        )
                     lock_ctx = artifact_lock if diag > 0 else contextlib.nullcontext()
                     with lock_ctx:
                         _, image_path, _ = write_run_artifacts(

@@ -46,6 +46,24 @@ from guided_attention_tpu.models.bundle import StableDiffusion
 from guided_attention_tpu.schedulers.ddim import DDIMSchedule, ddim_step, renoise
 
 
+def sgd_momentum_update(v, grad, vel, lr):
+    """One refinement SGD step (reference pipeline:495-497, 549-553):
+    ``torch.optim.SGD([latents], lr=step_size/2.5, momentum=0.8)`` —
+    buf = 0.8*buf + grad; v -= (lr/2.5)*buf. torch initializes the momentum
+    buffer to the first grad, which equals 0.8*0 + grad here. Pinned
+    numerically against torch.optim.SGD over a multi-step sequence in
+    tests/test_whole_step_parity.py::test_use_optimizer_sgd_parity."""
+    vel2 = (0.8 * vel + grad).astype(v.dtype)
+    return (v - (lr / 2.5) * vel2).astype(v.dtype), vel2
+
+
+def plain_update(v, grad, lr, loss):
+    """The reference's ``_update_latent`` (pipeline:455-470): v - lr*grad,
+    applied only when loss != 0 (pipeline:551-553, 1003-1007). Deep mode
+    passes lr = step_size*200 (the x200 grad scale at pipeline:464)."""
+    return jnp.where(loss != 0.0, (v - lr * grad).astype(v.dtype), v)
+
+
 @dataclasses.dataclass(frozen=True)
 class GenStatics:
     """Trace-time constants of one generation program."""
@@ -100,12 +118,14 @@ class StepArrays:
     pww_gates: jnp.ndarray  # f32[S] — (i < pww_stop) * log1p(sigma_i)
 
 
-def make_step_arrays(
-    statics: GenStatics, hp: HyperParams, sched: DDIMSchedule, scale_factor: float, scale_range
-) -> StepArrays:
+def guidance_gates(statics: GenStatics, hp: HyperParams):
+    """Host-side per-step gates (numpy): (thresholds[S], update_gate[S],
+    guidance_needed[S]). guidance_needed marks the only steps whose scan
+    iteration can run a guidance eval when skip_inert_guidance_passes is on
+    — which also makes it the exact set of steps that can carry nonzero
+    diagnostics (maps, eval slots): the basis for pull-time trimming
+    (runner._trim_plan) as well as make_step_arrays."""
     S = statics.num_steps
-    rng = np.linspace(scale_range[0], scale_range[1], S)
-    step_sizes = scale_factor * np.sqrt(rng)
     thresholds = np.full(S, np.inf, np.float32)
     for k, v in hp.thresholds.items():
         if 0 <= int(k) < S:
@@ -115,6 +135,16 @@ def make_step_arrays(
     if not statics.only_update_on_threshold_steps:
         update_gate |= np.arange(S) < statics.max_iter_to_alter
     guidance_needed = is_thresh | update_gate
+    return thresholds, update_gate, guidance_needed
+
+
+def make_step_arrays(
+    statics: GenStatics, hp: HyperParams, sched: DDIMSchedule, scale_factor: float, scale_range
+) -> StepArrays:
+    S = statics.num_steps
+    rng = np.linspace(scale_range[0], scale_range[1], S)
+    step_sizes = scale_factor * np.sqrt(rng)
+    thresholds, update_gate, guidance_needed = guidance_gates(statics, hp)
     sig = np.asarray(sched.sigmas)
     pww = (np.arange(S) < hp.paint_with_words_stop).astype(np.float32) * np.log1p(sig)
     return StepArrays(
@@ -371,19 +401,23 @@ def build_generate_raw(
 
                 # latent/deep update happens only on refinement bodies
                 if hp.use_optimizer:
-                    # SGD + momentum, lr = step/2.5 (pipeline:495-497).
+                    # SGD + momentum via sgd_momentum_update (pinned vs
+                    # torch.optim.SGD in tests/test_whole_step_parity.py).
                     # Documented deviation for use_optimizer+optimize_deep_latent
                     # combined: the reference's SGD holds [latents] (:497) even
                     # in deep mode, so its optim.step() there updates LATENTS
                     # through the skip-connection grads while deepFeatures only
                     # move at the final :1003 update — almost certainly
                     # unintended; here the optimizer consistently drives the
-                    # declared optimization variable (deep features).
-                    vel2 = jnp.where(refining, (0.8 * vel + grad).astype(v.dtype), vel)
-                    v_upd = (v - (lr / 2.5) * vel2).astype(v.dtype)
+                    # declared optimization variable (deep features). The
+                    # numeric divergence is asserted explicitly in
+                    # tests/test_whole_step_parity.py::test_deep_mode_sgd_deviation.
+                    v_new, vel_new = sgd_momentum_update(v, grad, vel, lr)
+                    vel2 = jnp.where(refining, vel_new, vel)
+                    v_upd = v_new
                 else:
                     vel2 = vel
-                    v_upd = jnp.where(loss != 0.0, (v - lr * grad).astype(v.dtype), v)
+                    v_upd = plain_update(v, grad, lr, loss)
                 v2 = jnp.where(refining, v_upd, v)
                 n_ref2 = n_ref + jnp.where(refining, 1, 0).astype(jnp.int32)
 
@@ -461,11 +495,7 @@ def build_generate_raw(
             gate_step = arrays.update_gate[i]
             not_met_last = ~meets_threshold(aux0["gu"], aux0["valid"], statics.last_threshold)
             apply = jnp.logical_and(gate_step, not_met_last)
-            var2 = jnp.where(
-                jnp.logical_and(apply, loss1 != 0.0),
-                (var1 - lr * grad1).astype(var1.dtype),
-                var1,
-            )
+            var2 = jnp.where(apply, plain_update(var1, grad1, lr, loss1), var1)
             did_update = jnp.logical_or(needs_refine, apply)
             # entered_refine gates the deep-feature CFG injection: the
             # reference clears injectDeepFeatures at step start (:935) and
