@@ -8,6 +8,7 @@ hyperparams) pair, cached, with all per-run data passed as arrays.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -55,34 +56,93 @@ def _derive_seed(cfg, seed):
 # x0_pred and latent_in stack [S] steps of [h,w,C] f16 (~3.2 MB of the
 # ~5.4 MB full-diagnostic transfer per 50-step image), but artifact writing
 # at diagnostic_level 0 only ever reads steps [0, 1, 2] (the reference's
-# always_save_iter, pipeline:881). Trimming happens ON DEVICE before the one
-# batched device->host pull — on remote-attached TPUs the transfer is the
-# dominant cost of the serving artifact path (docs/SERVING.md).
+# always_save_iter, pipeline:881). The per-step maps [S,R,R,K] f16 (~2 MB)
+# and eval_unscaled [S,R_sub,K] are nonzero ONLY at guidance-eval steps
+# (pipeline.guidance_gates — with default thresholds {0: 1.0} that is step 0
+# alone), so they gather down to those steps on device and scatter back into
+# full-shape zeros on the host after the pull (content-exact: the dropped
+# steps were zeros). Trimming happens ON DEVICE before the one batched
+# device->host pull — on remote-attached TPUs the transfer is the dominant
+# cost of the serving artifact path (docs/SERVING.md).
 _TRIM_KEEP = 3
 
 
-@jax.jit
-def _trim_heavy_single(x0_pred, latent_in):
-    return x0_pred[:_TRIM_KEEP], latent_in[:_TRIM_KEEP]
+def _trim_plan(statics, hp):
+    """Static eval-step indices for the maps/eval_unscaled gather, or None
+    when every step could eval (skip_inert_guidance_passes off — trimming
+    would drop real content)."""
+    from guided_attention_tpu.pipeline import guidance_gates
+
+    if statics.run_standard_sd:
+        return ()
+    if not statics.skip_inert_guidance_passes:
+        return None
+    _thr, _upd, needed = guidance_gates(statics, hp)
+    return tuple(int(i) for i in np.where(needed)[0])
 
 
-@jax.jit
-def _trim_heavy_batch(x0_pred, latent_in):
-    return x0_pred[:, :_TRIM_KEEP], latent_in[:, :_TRIM_KEEP]
+@functools.lru_cache(maxsize=64)
+def _trim_fn(keep, batched: bool):
+    """Jitted heavy-leaf trim for one (eval-step set, batched) signature."""
+    idx = None if keep is None else jnp.asarray(keep, jnp.int32)
+
+    def trim(x0_pred, latent_in, maps, eval_unscaled):
+        if batched:
+            x0, li = x0_pred[:, :_TRIM_KEEP], latent_in[:, :_TRIM_KEEP]
+            if idx is not None:
+                maps, eval_unscaled = maps[:, idx], eval_unscaled[:, idx]
+        else:
+            x0, li = x0_pred[:_TRIM_KEEP], latent_in[:_TRIM_KEEP]
+            if idx is not None:
+                maps, eval_unscaled = maps[idx], eval_unscaled[idx]
+        return x0, li, maps, eval_unscaled
+
+    return jax.jit(trim)
 
 
-def _apply_trim(diags, batched: bool):
-    """Replace the heavy per-step leaves with their [:3] prefixes; no-op on
-    placeholder (capture_diagnostics=False) diagnostics."""
+def _apply_trim(diags, batched: bool, keep=None):
+    """Replace the heavy per-step leaves with their trimmed forms; no-op on
+    placeholder (capture_diagnostics=False) diagnostics. ``keep`` is the
+    _trim_plan result; PendingOutput/PendingBatch.result() scatters the
+    gathered maps/eval_unscaled back to full shape host-side."""
     if diags.x0_pred.ndim < 3 or diags.x0_pred.shape[-2] <= 1:
         return diags  # minimal placeholders — nothing heavy to trim
     if isinstance(diags.x0_pred, np.ndarray):  # multi-process: already host
         k = _TRIM_KEEP
         sl = (slice(None), slice(0, k)) if batched else slice(0, k)
         return diags.replace(x0_pred=diags.x0_pred[sl], latent_in=diags.latent_in[sl])
-    fn = _trim_heavy_batch if batched else _trim_heavy_single
-    x0, li = fn(diags.x0_pred, diags.latent_in)
+    do_maps = keep is not None and diags.maps.shape[-1] > 1
+    fn = _trim_fn(keep if do_maps else None, batched)
+    x0, li, maps, eu = fn(diags.x0_pred, diags.latent_in, diags.maps, diags.eval_unscaled)
+    if do_maps:
+        return diags.replace(x0_pred=x0, latent_in=li, maps=maps, eval_unscaled=eu)
     return diags.replace(x0_pred=x0, latent_in=li)
+
+
+def _scatter_trimmed(diags, keep, S: int, batched: bool):
+    """Host-side inverse of the maps/eval_unscaled gather: scatter the kept
+    steps back into full-[S] zeros (exact — the dropped steps were zeros by
+    construction). No-op when the shapes are already full."""
+    if keep is None or diags.maps.shape[-1] <= 1:
+        return diags
+    step_ax = 1 if batched else 0
+    if diags.maps.shape[step_ax] == S:
+        return diags
+
+    def scatter(x):
+        x = np.asarray(x)
+        shape = x.shape[:step_ax] + (S,) + x.shape[step_ax + 1:]
+        full = np.zeros(shape, x.dtype)
+        if len(keep):
+            if batched:
+                full[:, list(keep)] = x
+            else:
+                full[list(keep)] = x
+        return full
+
+    return diags.replace(
+        maps=scatter(diags.maps), eval_unscaled=scatter(diags.eval_unscaled)
+    )
 
 
 @dataclasses.dataclass
@@ -135,11 +195,17 @@ class PendingOutput:
     spec: GuidanceSpec
     prompt: str
     annotations: List[Annotation]
+    # maps/eval_unscaled gather bookkeeping (trim_heavy_diags): the kept
+    # eval-step indices + full step count, for the host-side scatter-back
+    _trim_keep: Optional[Tuple[int, ...]] = None
+    _trim_S: int = 0
 
     def result(self) -> PipelineOutput:
         # ONE batched device->host pull: per-leaf np.asarray costs a tunnel
         # roundtrip per StepDiag field (~0.6 s/image on remote TPUs)
         img_u8, final_np, diags_np = jax.device_get((self._img_u8, self._latents, self._diags))
+        if self._trim_keep is not None:
+            diags_np = _scatter_trimmed(diags_np, self._trim_keep, self._trim_S, batched=False)
         images = None
         if self._decode:
             images = np.asarray(img_u8).astype(np.float32) / 255.0
@@ -163,6 +229,33 @@ def _hp_key(hp: HyperParams):
 # PrepareOptions fields that need bespoke handling in cache_key (everything
 # else is hashable as-is and keyed generically from the field list)
 _UNHASHABLE_OPTS = ("annotations", "hp", "thresholds", "scale_range")
+
+
+def _freeze_annotations(annotations):
+    """Value-based hashable form of caller-supplied annotations, or None when
+    any entry defies normalization (unknown target type -> uncacheable).
+
+    Keying by VALUE (not identity) makes the prepare cache correct even for
+    exotic callers: Annotation/Rect are frozen dataclasses
+    (annotation.py:32-69), and a hypothetical mutable target (a caller
+    passing a list as COOR payload) is snapshotted into a tuple here — a
+    later call after mutation produces a different key and re-prepares."""
+    out = []
+    for a in annotations:
+        t = getattr(a, "target", None)
+        if t is None:
+            tk = None
+        elif isinstance(t, (tuple, list)):
+            tk = tuple(float(v) for v in t)
+        elif hasattr(t, "x"):  # Rect
+            tk = (float(t.x), float(t.y), float(t.width), float(t.height), float(t.size))
+        else:
+            return None
+        try:
+            out.append((str(a.subprompt), int(a.kind), tk))
+        except (TypeError, ValueError, AttributeError):
+            return None
+    return tuple(out)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,9 +305,16 @@ class PrepareOptions:
 
     def cache_key(self, registry_version: int):
         """Hashable identity for the prepare cache, or None when uncacheable
-        (caller-supplied annotation objects may be mutated between calls)."""
+        (an annotation target of an unrecognized type). Caller-supplied
+        annotations key by VALUE (_freeze_annotations) — the API path
+        (``annotations=[...]``) hits the prepare cache like meta-prompt
+        strings do, and mutated-then-reused objects still re-prepare because
+        their value key changes."""
+        ann_key = None
         if self.annotations is not None:
-            return None
+            ann_key = _freeze_annotations(self.annotations)
+            if ann_key is None:
+                return None
         scalars = tuple(
             getattr(self, f.name)
             for f in dataclasses.fields(self)
@@ -223,6 +323,7 @@ class PrepareOptions:
         return (
             registry_version,
             scalars,
+            ann_key,
             _hp_key(self.hp) if self.hp is not None else None,
             tuple(sorted(self.thresholds.items())) if self.thresholds is not None else None,
             tuple(self.scale_range),
@@ -245,12 +346,16 @@ class PendingBatch:
     _materialized: bool
     per_out: List[Any]  # per-sample (prompt, annotations, spec)
     seeds: List[int]
+    _trim_keep: Optional[Tuple[int, ...]] = None  # see PendingOutput
+    _trim_S: int = 0
 
     def result(self) -> List[PipelineOutput]:
         if self._materialized:
             img_u8, final, diags = self._img_u8, self._final, self._diags
         else:
             img_u8, final, diags = jax.device_get((self._img_u8, self._final, self._diags))
+        if self._trim_keep is not None:
+            diags = _scatter_trimmed(diags, self._trim_keep, self._trim_S, batched=True)
         batch_images = None
         if img_u8 is not None:
             batch_images = np.asarray(img_u8).astype(np.float32) / 255.0
@@ -517,8 +622,10 @@ class GuidedAttentionPipeline:
                 self.sd.params, emb, latents, spec, sched, arrays, key_run
             )
             img_u8 = self.sd.decode_latents_u8(final_latents) if decode else None
+        keep = None
         if trim_heavy_diags:
-            diags = _apply_trim(diags, batched=False)
+            keep = _trim_plan(statics, hp)
+            diags = _apply_trim(diags, batched=False, keep=keep)
         return PendingOutput(
             _img_u8=img_u8,
             _latents=final_latents,
@@ -527,6 +634,8 @@ class GuidedAttentionPipeline:
             spec=spec,
             prompt=prompt,
             annotations=annotations,
+            _trim_keep=keep if trim_heavy_diags else None,
+            _trim_S=statics.num_steps,
         )
 
     def __call__(self, *args, **kwargs) -> PipelineOutput:
@@ -700,8 +809,10 @@ class GuidedAttentionPipeline:
 
         with mesh:
             final, diags = gen(self.sd.params, emb, latents0, spec, sched, arrays, run_keys)
+            keep = None
             if trim_heavy_diags:
-                diags = _apply_trim(diags, batched=True)
+                keep = _trim_plan(statics, hp)
+                diags = _apply_trim(diags, batched=True, keep=keep)
             if jax.process_count() == 1:
                 img_u8 = None
                 if decode:
@@ -715,6 +826,8 @@ class GuidedAttentionPipeline:
                 return PendingBatch(
                     _img_u8=img_u8, _final=final, _diags=diags,
                     _materialized=False, per_out=per_out, seeds=list(seeds),
+                    _trim_keep=keep if trim_heavy_diags else None,
+                    _trim_S=statics.num_steps,
                 )
             final, diags = to_host((final, diags))
 
@@ -731,6 +844,8 @@ class GuidedAttentionPipeline:
         return PendingBatch(
             _img_u8=img_u8, _final=final, _diags=diags,
             _materialized=True, per_out=per_out, seeds=list(seeds),
+            _trim_keep=keep if trim_heavy_diags else None,
+            _trim_S=statics.num_steps,
         )
 
     @staticmethod

@@ -251,7 +251,11 @@ class ArtifactWriter:
         self.step_dir.mkdir(parents=True, exist_ok=True)
         for i, img01 in zip(steps, imgs):
             fname = (self.clean + self._state_name(i, 0) + "_pred").replace(".", "_") + ".png"
-            to_pil(img01).save(self.step_dir / fname)
+            # native thread-pool PNG encode (falls back to PIL): the 3
+            # 512x512 encodes were ~0.2 s of handler-thread time per
+            # serving artifact request (docs/SERVING.md round-5 measure)
+            self.async_writer.submit_image(img01, self.step_dir / fname)
+        self.async_writer.flush()
 
     def write_final_image(self, out, annotations, annotate: bool = False):
         img = to_pil(out.images[0])
