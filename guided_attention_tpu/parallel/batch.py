@@ -162,14 +162,22 @@ def build_batch_generate(
         )
         return (params, emb, latents0, spec, sched, arrays, keys) + start
 
-    def generate(params, emb, latents0, spec, sched, arrays, keys, *start):
+    def jit_for(params):
+        """The underlying jitted callable for this param tree (exposed for
+        AOT introspection: scripts/profile_guided.dump_fused_hlo lowers it
+        to dump the batch program's optimized HLO)."""
         key = _params_key(params)
         if key not in cache:
             cache[key] = make(params)
+        return cache[key]
+
+    def generate(params, emb, latents0, spec, sched, arrays, keys, *start):
+        fn = jit_for(params)
         if jax.process_count() > 1:
             params, emb, latents0, spec, sched, arrays, keys, *start = _to_global(
                 params, emb, latents0, spec, sched, arrays, keys, *start
             )
-        return cache[key](params, emb, latents0, spec, sched, arrays, keys, *start)
+        return fn(params, emb, latents0, spec, sched, arrays, keys, *start)
 
+    generate.jit_for = jit_for
     return generate

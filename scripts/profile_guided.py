@@ -54,7 +54,9 @@ def dump_fused_hlo(pipe, steps: int, out_path: str, batch: int = 0) -> None:
             jnp.arange(1, batch + 1, dtype=jnp.uint32)
         )
         with mesh:
-            lowered = gen.lower(pipe.sd.params, emb, lat0, spec, sched, arrays, keys)
+            lowered = gen.jit_for(pipe.sd.params).lower(
+                pipe.sd.params, emb, lat0, spec, sched, arrays, keys
+            )
     else:
         fused = pipe._get_fused(statics, hp)
         lowered = fused.lower(
