@@ -104,10 +104,15 @@ def main():
     ap.add_argument("--requests", type=int, default=24, help="requests per load level")
     ap.add_argument("--artifacts", default=None, metavar="DIR",
                     help="also measure each level with full artifact trees written to DIR")
+    ap.add_argument("--buckets", default="4,8",
+                    help="engine batch buckets (comma-separated); a smaller "
+                    "set compiles fewer programs — use '8' for a pure "
+                    "saturation measurement on a cold compile cache")
     ap.add_argument("concurrency", type=int, nargs="*", default=[8, 4],
                     help="closed-loop client counts to measure")
     args = ap.parse_args()
     n_requests, concurrencies = args.requests, args.concurrency
+    buckets = tuple(int(b) for b in args.buckets.split(","))
 
     from guided_attention_tpu.frontends.server import BatchingEngine
     from guided_attention_tpu.models.bundle import StableDiffusion
@@ -120,11 +125,11 @@ def main():
 
     # production config for steady >=4-concurrent traffic: min bucket 4 so a
     # straggler group never compiles a cold batch-1/2 program mid-serve
-    engine = BatchingEngine(pipe, max_wait_ms=150.0, buckets=(4, 8))
+    engine = BatchingEngine(pipe, max_wait_ms=150.0, buckets=buckets)
     # warmup: compile every program the load can hit — both buckets, in BOTH
     # variants (shared-prompt for padded straggler groups, multi-prompt for
     # mixed traffic; per_prompt is in the runner's batch-program cache key)
-    for n in (4, 8):
+    for n in buckets:
         for label, mk in (("same", lambda i: META), ("mixed", lambda i: META if i % 2 else META2)):
             t0 = time.time()
             warm = [engine.submit(mk(i), seed=1000 * n + i) for i in range(n)]

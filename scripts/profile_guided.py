@@ -200,7 +200,7 @@ def parse_hlo_fusion_classes(path: str):
                 cm = _CALLS_RE.search(line)
                 if nm and cm:
                     instr_to_comp[nm.group(1)] = cm.group(1)
-            if op in ("convolution", "dot", "custom-call") and not detail:
+            if op in ("convolution", "dot", "custom-call", "reduce") and not detail:
                 detail = line.strip()[:160]
     return classes, instr_to_comp
 
