@@ -450,7 +450,10 @@ def _png_bytes(images) -> bytes:
     from guided_attention_tpu.runtime.artifacts import to_pil
 
     buf = io.BytesIO()
-    to_pil(images[0]).save(buf, format="PNG")
+    # zlib level 1: ~3-4x faster than PIL's default 6 for ~25% larger
+    # payload — handler-thread CPU is the scarce resource under load
+    # (docs/SERVING.md round-5 decomposition), not localhost bandwidth
+    to_pil(images[0]).save(buf, format="PNG", compress_level=1)
     return buf.getvalue()
 
 

@@ -264,11 +264,14 @@ class ArtifactWriter:
         self.run_dir.mkdir(parents=True, exist_ok=True)
         path = self.run_dir / f"{self.seed}{self.hyper_suffix}.png"
         try:
-            img.save(path)
+            # zlib level 1: encode speed over file size — the final-image
+            # encode is serialized handler-thread CPU on the serving
+            # artifact path (docs/SERVING.md round-5 decomposition)
+            img.save(path, compress_level=1)
         except OSError:
             # path-too-long fallback (reference run.py:119-125)
             path = self.run_dir / f"{self.seed}.png"
-            img.save(path)
+            img.save(path, compress_level=1)
         return img, path
 
 
