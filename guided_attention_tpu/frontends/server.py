@@ -337,11 +337,37 @@ class BatchingEngine:
                 self._cv.wait(timeout=0.1)
             return self._queue.popleft()
 
-    def _gather(self, first: ServeTicket) -> List[ServeTicket]:
-        """Collect same-key requests for up to max_wait_s (early-exit when a
-        full bucket is reached). Other-key requests stay queued in order."""
+    # Cap on how far group formation may extend past max_wait_s while a
+    # batch occupies the device (see _inflight_deadline): bounds the
+    # fragmentation-vs-latency trade after an outlier batch duration (a
+    # cold compile reads as a 200+ s "batch").
+    _MAX_BUSY_EXTEND_S = 15.0
+
+    def _inflight_deadline(self, pending) -> Optional[float]:
+        """While a batch is ON THE DEVICE, forming the next group early buys
+        nothing — the chip cannot start it, and every request that arrives
+        meanwhile is forfeited to padding (measured: closed-loop clients
+        writing artifacts desync and fragment groups, docs/SERVING.md
+        round 5). Estimate the in-flight batch's completion from the last
+        observed batch duration and let _gather keep collecting until ~80%
+        of it has elapsed (the final ~20% still overlaps the ~100 ms
+        dispatch/upload host tail, preserving the depth-2 pipelining win)."""
+        if pending is None:
+            return None
+        last = self.stats.get("last_batch_s")
+        if not last:
+            return None
+        _group, _pb, t0 = pending
+        return t0 + min(0.8 * last, self._MAX_BUSY_EXTEND_S)
+
+    def _gather(self, first: ServeTicket, extend_until: Optional[float] = None) -> List[ServeTicket]:
+        """Collect same-key requests for up to max_wait_s — longer while the
+        device is known-busy (extend_until) — early-exiting when a full
+        bucket is reached. Other-key requests stay queued in order."""
         group = [first]
         deadline = time.monotonic() + self.max_wait_s
+        if extend_until is not None and extend_until > deadline:
+            deadline = extend_until
         with self._cv:
             while len(group) < self.max_batch:
                 for t in list(self._queue):
@@ -395,7 +421,7 @@ class BatchingEngine:
                             break
                     continue
                 continue
-            group = self._gather(first)
+            group = self._gather(first, extend_until=self._inflight_deadline(pending))
             t0 = time.monotonic()
             try:
                 with self._pipe_lock:

@@ -461,9 +461,15 @@ def test_hp_over_http(engine, pipe):
         from guided_attention_tpu.runtime.artifacts import to_pil
         import io
 
-        buf = io.BytesIO()
-        to_pil(direct.images[0]).save(buf, format="PNG")
-        assert buf.getvalue() == png
+        import numpy as np
+        from PIL import Image
+
+        # compare decoded PIXELS, not encoded bytes: the server encodes at
+        # zlib level 1 (speed over size, server._png_bytes) while a default
+        # PIL save uses level 6 — same image, different byte streams
+        served = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+        want = np.asarray(to_pil(direct.images[0]).convert("RGB"))
+        assert np.array_equal(served, want)
 
         for bad in ({"nope": 1}, {"recurse_steps": 0}, {"strict": "yes"}, 7):
             c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
