@@ -159,6 +159,41 @@ def test_serving_over_dp_tp_mesh(pipe):
         assert out.images is not None and np.isfinite(out.images).all()
 
 
+def test_inflight_deadline_logic(pipe):
+    """Busy-aware group formation (docs/SERVING.md round 5): _gather may
+    extend only while a batch is in flight AND a duration estimate exists,
+    to ~80% of that estimate, capped at _MAX_BUSY_EXTEND_S past the
+    in-flight batch's dispatch time (a cold-compile outlier must not stall
+    formation)."""
+    import time as _time
+
+    eng = BatchingEngine(pipe, _start_thread=False)
+    try:
+        t0 = _time.monotonic()
+        fake_pending = ([], object(), t0)
+        # no in-flight batch -> no extension
+        assert eng._inflight_deadline(None) is None
+        # in-flight but no duration estimate yet -> no extension
+        eng.stats["last_batch_s"] = None
+        assert eng._inflight_deadline(fake_pending) is None
+        # normal case: 80% of the last batch duration
+        eng.stats["last_batch_s"] = 10.0
+        dl = eng._inflight_deadline(fake_pending)
+        assert abs(dl - (t0 + 8.0)) < 1e-6
+        # outlier (cold compile read as a 200 s batch): capped
+        eng.stats["last_batch_s"] = 200.0
+        dl = eng._inflight_deadline(fake_pending)
+        assert abs(dl - (t0 + eng._MAX_BUSY_EXTEND_S)) < 1e-6
+        # _gather honors the later of (max_wait, extend_until): with an
+        # already-expired extension it returns after max_wait as before
+        eng.submit(PROMPT, seed=1, **KNOBS)
+        first = eng._pop_first(block=False)  # the loop pops before gathering
+        g = eng._gather(first, extend_until=_time.monotonic() - 1.0)
+        assert g == [first]
+    finally:
+        eng.close()
+
+
 def test_close_unstarted_engine(pipe):
     # _start_thread=False (deterministic queue fill) + close() must shut
     # down cleanly instead of raising from Thread.join on an unstarted thread
