@@ -323,10 +323,18 @@ def analyze(logdir: str, top: int = 15, hlo: str = None) -> None:
     unnamed = sum(
         d for c, d in cats.items() if c in ("fusion:unjoined", "other", "elementwise/other fusion")
     )
+    named_pct = 100 * (total - unnamed) / total
     print(
-        f"named attribution: {100 * (total - unnamed) / total:.1f}% of device "
-        f"time in named op families ({unnamed/1e6:.1f} ms unattributed)\n"
+        f"named attribution: {named_pct:.1f}% of device "
+        f"time in named op families ({unnamed/1e6:.1f} ms unattributed)"
     )
+    if named_pct < 90 and total > 1e6:
+        print(
+            "WARNING: below the 90% attribution bar — is the HLO dump "
+            "missing/stale for this trace? (pass --hlo, or re-run the "
+            "profile so module.hlo.txt matches the program)"
+        )
+    print()
 
     print(f"{'category':32s} {'ms':>10s} {'%busy':>7s}")
     for c, d in sorted(cats.items(), key=lambda kv: -kv[1]):
